@@ -1,0 +1,72 @@
+"""Solver configuration.
+
+TPU-native analog of the reference's two config layers:
+
+* the DOP parameter sheet (runtime knobs) — see
+  /root/reference/Source/HDK_AdaptiveViscosity.cpp:36-124 for the parameter
+  names and defaults mirrored here, and
+* the build-time precision switch ``USESINGLEPRECISION`` / ``USEEIGEN``
+  (/root/reference/Source/HDK_Utilities.h:25-43) — here a dtype field.
+
+All knobs that change numerics are preserved so that a solve can be configured
+for parity with the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Static configuration for one adaptive viscosity solve.
+
+    Everything here is a *static* (trace-time) value: changing any field
+    recompiles the jitted pipeline.  Per-frame data (fields, dt) are runtime
+    arguments of :func:`adaptiveviscositysolver_tpu.solver.solve_viscosity`.
+    """
+
+    # Octree shape knobs (reference defaults: octreeLevels=4, fineLayerBandwidth=2;
+    # HDK_AdaptiveViscosity.cpp:106-107).
+    octree_levels: int = 4
+    fine_bandwidth: int = 2
+
+    # Free-surface / solid-boundary treatment (defaults at cpp:69,104,93).
+    extrapolation: float = 0.5          # in units of dx
+    num_supersamples: int = 3           # volume-fraction samples per axis
+    apply_solid_weights: bool = False
+
+    # Discretization toggle (cpp:109; default on).
+    use_enhanced_gradients: bool = True
+
+    # CG solve (cpp:62-66).
+    tolerance: float = 1e-3
+    max_iterations: int = 2500
+
+    # Precision of the solve (HDK_Utilities.h:25-37).  fp32 is the TPU-native
+    # choice; fp64 works on CPU for oracle parity tests.
+    dtype: jnp.dtype = jnp.float32
+
+    def __post_init__(self):
+        if self.octree_levels < 1:
+            raise ValueError("octree_levels must be >= 1")
+        if self.num_supersamples < 1:
+            raise ValueError("num_supersamples must be >= 1")
+
+
+def capped_levels(shape: Tuple[int, int, int], desired_levels: int) -> int:
+    """Cap the level count like HDK_OctreeGrid::init (HDK_OctreeGrid.cpp:27-40).
+
+    The reference pads the domain to the next power of two and then caps the
+    number of levels at log2 of the smallest padded axis.
+    """
+    import math
+
+    levels = desired_levels
+    for n in shape:
+        padded = 1 << max(0, math.ceil(math.log2(n)) if n > 1 else 0)
+        levels = min(levels, max(1, int(math.log2(padded))))
+    return levels
