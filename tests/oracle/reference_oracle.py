@@ -318,3 +318,183 @@ def check_octree_invariants(labels):
             if fails:
                 return fails
     return fails
+
+
+# ---------------------------------------------------------------------------
+# Integration weights (buildIntegrationWeights, cpp:712-791)
+# ---------------------------------------------------------------------------
+
+def _trilinear(field, pts):
+    """Trilinear sample of a cell-sampled field at index-space points,
+    border-clamped — via scipy (independent of the library's shifted-lerp
+    formulation)."""
+    from scipy.ndimage import map_coordinates
+
+    return map_coordinates(field, pts.T, order=1, mode="nearest")
+
+
+def volume_fraction(sdf, kind, axis, num_samples, iso_offset=0.0):
+    """Fraction of the dual cell with sdf + iso_offset <= 0 (supersampled)."""
+    res = sdf.shape
+    if kind == "center":
+        shape = res
+        base = np.zeros(3)
+    elif kind == "edge":
+        shape = tuple(r + (0 if d == axis else 1) for d, r in enumerate(res))
+        base = np.array([0.0 if d == axis else -0.5 for d in range(3)])
+    elif kind == "face":
+        shape = tuple(r + (1 if d == axis else 0) for d, r in enumerate(res))
+        base = np.array([-0.5 if d == axis else 0.0 for d in range(3)])
+    else:
+        raise ValueError(kind)
+    subs = np.array([(i + 0.5) / num_samples - 0.5 for i in range(num_samples)])
+    grid = np.stack(np.meshgrid(*[np.arange(s) for s in shape], indexing="ij"), -1).reshape(-1, 3)
+    acc = np.zeros(len(grid))
+    for ox in subs:
+        for oy in subs:
+            for oz in subs:
+                pts = grid + base + np.array([ox, oy, oz])
+                acc += (_trilinear(sdf, pts) + iso_offset <= 0.0)
+    return (acc / num_samples ** 3).reshape(shape)
+
+
+def integration_weights(liquid_sdf, solid_sdf, num_samples, extrapolation, apply_solid):
+    center_w = volume_fraction(liquid_sdf, "center", None, num_samples)
+    edge_w = [volume_fraction(liquid_sdf, "edge", a, num_samples) for a in range(3)]
+    if apply_solid:
+        co = volume_fraction(-solid_sdf, "center", None, num_samples, extrapolation)
+        center_w = np.where(co > 0, center_w / np.maximum(co, 1e-30), 0.0)
+        for a in range(3):
+            eo = volume_fraction(-solid_sdf, "edge", a, num_samples, extrapolation)
+            edge_w[a] = np.where(eo > 0, edge_w[a] / np.maximum(eo, 1e-30), 0.0)
+    return center_w, edge_w
+
+
+# ---------------------------------------------------------------------------
+# DOF classification (cpp:1087-1443).  Solid SDF negative inside the solid.
+# ---------------------------------------------------------------------------
+
+def _face_shape(res, axis):
+    return tuple(r + (1 if d == axis else 0) for d, r in enumerate(res))
+
+
+def _edge_shape(res, axis):
+    return tuple(r + (0 if d == axis else 1) for d, r in enumerate(res))
+
+
+def _solid_at_face(solid_sdf, face, axis):
+    res = solid_sdf.shape
+    b = list(face); b[axis] = max(0, min(res[axis] - 1, b[axis] - 1))
+    f = list(face); f[axis] = max(0, min(res[axis] - 1, f[axis]))
+    return 0.5 * (solid_sdf[tuple(b)] + solid_sdf[tuple(f)])
+
+
+def _face_weight_active(center_w, edge_w, face, axis, res):
+    back = face_to_cell(face, axis, 0)
+    fwd = face_to_cell(face, axis, 1)
+    if center_w[back] > 0 or center_w[fwd] > 0:
+        return True
+    for edge_axis in range(3):
+        if edge_axis == axis:
+            continue
+        for direction in (0, 1):
+            e = face_to_edge(face, axis, edge_axis, direction)
+            if edge_w[edge_axis][e] > 0:
+                return True
+    return False
+
+
+def classify_regular_velocity(center_w, edge_w, solid_sdf, extrapolation, axis):
+    res = solid_sdf.shape
+    kind = np.full(_face_shape(res, axis), UNASSIGNED, np.int8)
+    for face in np.ndindex(kind.shape):
+        back = face_to_cell(face, axis, 0)
+        fwd = face_to_cell(face, axis, 1)
+        if back[axis] < 0 or fwd[axis] >= res[axis]:
+            continue
+        if _face_weight_active(center_w, edge_w, face, axis, res):
+            if _solid_at_face(solid_sdf, face, axis) < extrapolation:
+                kind[face] = SOLIDBOUNDARY
+            else:
+                kind[face] = FLUID
+    return kind
+
+
+def classify_octree_velocity(labels, center_w, edge_w, solid_sdf, extrapolation):
+    res = solid_sdf.shape
+    out = []
+    for level, lab in enumerate(labels):
+        per_axis = []
+        shape = lab.shape
+        for axis in range(3):
+            kind = np.full(_face_shape(shape, axis), UNASSIGNED, np.int8)
+            for face in np.ndindex(kind.shape):
+                back = face_to_cell(face, axis, 0)
+                fwd = face_to_cell(face, axis, 1)
+                if back[axis] < 0 or fwd[axis] >= shape[axis]:
+                    if level == 0:
+                        kind[face] = OUTSIDE
+                    continue
+                bl, fl = lab[back], lab[fwd]
+                if level == 0:
+                    if bl == ACTIVE and fl == ACTIVE:
+                        if _face_weight_active(center_w, edge_w, face, axis, res):
+                            if _solid_at_face(solid_sdf, face, axis) < extrapolation:
+                                kind[face] = SOLIDBOUNDARY
+                            else:
+                                kind[face] = FLUID
+                        else:
+                            kind[face] = OUTSIDE
+                    elif bl == INACTIVE or fl == INACTIVE:
+                        kind[face] = OUTSIDE
+                    elif (bl, fl) in ((UP, ACTIVE), (ACTIVE, UP)):
+                        kind[face] = FLUID
+                else:
+                    if (bl, fl) in ((ACTIVE, ACTIVE), (UP, ACTIVE), (ACTIVE, UP)):
+                        kind[face] = FLUID
+            per_axis.append(kind)
+        out.append(per_axis)
+    return out
+
+
+def classify_edge_stress(labels, edge_w):
+    out = []
+    for level, lab in enumerate(labels):
+        shape = lab.shape
+        per_axis = []
+        for axis in range(3):
+            kind = np.full(_edge_shape(shape, axis), UNASSIGNED, np.int8)
+            for edge in np.ndindex(kind.shape):
+                is_active = False
+                status = None
+                for ci in range(4):
+                    cell = edge_to_cell(edge, axis, ci)
+                    if not in_bounds(cell, shape):
+                        status = OUTSIDE
+                        break
+                    if lab[cell] == DOWN:
+                        is_active = False
+                        break
+                    if lab[cell] == ACTIVE:
+                        is_active = True
+                if status == OUTSIDE:
+                    kind[edge] = OUTSIDE
+                elif is_active:
+                    if level == 0:
+                        kind[edge] = FLUID if edge_w[axis][edge] > 0 else OUTSIDE
+                    else:
+                        kind[edge] = FLUID
+            per_axis.append(kind)
+        out.append(per_axis)
+    return out
+
+
+def classify_center_stress(labels, center_w):
+    out = []
+    for level, lab in enumerate(labels):
+        kind = np.full(lab.shape, UNASSIGNED, np.int8)
+        for cell in np.ndindex(lab.shape):
+            if lab[cell] == ACTIVE and (level != 0 or center_w[cell] > 0):
+                kind[cell] = FLUID
+        out.append(kind)
+    return out
