@@ -185,3 +185,24 @@ def _staggered_fraction(sdf, kind, axis, num_samples, iso_offset=0.0):
                 sz = _axis_lerp(sy, 2, base[2] + oz - shifts[2])[:, :, : out_shape[2]]
                 acc = acc + (sz + iso_offset <= 0.0).astype(jnp.float32)
     return acc / float(num_samples ** 3)
+
+
+def face_weights(
+    liquid_sdf: jnp.ndarray,
+    solid_sdf: jnp.ndarray,
+    num_samples: int,
+    extrapolation: float,
+    apply_solid_weights: bool,
+):
+    """Liquid volume fractions at the 3 face grids — the "surfaceweights"
+    input field the reference receives from the host FLIP solver (cpp:144,
+    "faceWeights").  Computed with the same supersampling as the center/edge
+    weights when the caller does not supply one.
+    """
+    ws = [_staggered_fraction(liquid_sdf, "face", a, num_samples) for a in range(3)]
+    if apply_solid_weights:
+        for a in range(3):
+            open_a = _staggered_fraction(-solid_sdf, "face", a, num_samples,
+                                         iso_offset=extrapolation)
+            ws[a] = jnp.where(open_a > 0, ws[a] / jnp.maximum(open_a, 1e-30), 0.0)
+    return ws

@@ -1,0 +1,207 @@
+"""Matrix-free application of the viscosity system on the dense pyramid.
+
+The system solved is the reference's
+``(Mu + 2 dt D^T K Mtau U D) u^{n+1} = Mu u^n``
+(/root/reference/Source/HDK_AdaptiveViscosity.cpp:424) — here applied without
+ever assembling a sparse matrix:
+
+    A u  =  M u  +  D^T (W (D u))
+    rhs  =  M guess  -  D^T (W b)            (b = solid-velocity terms)
+    diag =  M  +  sum_s W_s * coeff_s^2      (Jacobi preconditioner)
+
+``u`` is a pytree: one dense face array per (level, axis), zero outside FLUID
+faces.  D / D^T / diag all derive from the same :class:`stencils.StressTerm`
+lists, so there is a single correctness surface.  Every operation is a
+shifted/strided whole-array op — fusible by XLA and shardable with
+``jax.sharding`` over the spatial axes.
+
+Replaces the reference's triplet assembly + Eigen CG
+(cpp:2404-2777, 596-653).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .ops.arrayops import (
+    face_child_sum,
+    face_child_sum_adjoint,
+    face_shape,
+    gather_offset,
+    scatter_offset,
+    transverse_blocksum,
+    upread,
+    upread_adjoint,
+)
+from .stencils import StressBlock, StressTerm
+
+UField = Dict[Tuple[int, int], jnp.ndarray]  # (level, axis) -> face array
+
+
+def _lift(term: StressTerm, u: UField, stress_level: int, res_per_level) -> jnp.ndarray:
+    """Produce the level-``stress_level`` face-grid view of the source array."""
+    src = u[(term.src_level, term.face_axis)]
+    fshape = face_shape(res_per_level[stress_level], term.face_axis)
+    if term.lift == "same":
+        return src
+    if term.lift == "parent":
+        return upread(src, fshape)
+    if term.lift == "childsum":
+        return face_child_sum(src, term.face_axis, fshape)
+    if term.lift == "blocksum":
+        return transverse_blocksum(src, term.face_axis)
+    raise ValueError(term.lift)
+
+
+def _lift_adjoint(term: StressTerm, z: jnp.ndarray, res_per_level) -> jnp.ndarray:
+    """Adjoint of :func:`_lift`: distribute ``z`` back onto the source grid."""
+    src_shape = face_shape(res_per_level[term.src_level], term.face_axis)
+    if term.lift == "same":
+        return z
+    if term.lift == "parent":
+        return upread_adjoint(z, src_shape)
+    if term.lift == "childsum":
+        return face_child_sum_adjoint(z, term.face_axis, src_shape)
+    if term.lift == "blocksum":
+        return transverse_blocksum(z, term.face_axis)  # self-adjoint
+    raise ValueError(term.lift)
+
+
+def apply_D(blocks: Sequence[StressBlock], u: UField, res_per_level) -> List[jnp.ndarray]:
+    """tau_s = sum_t coeff_t * lift_t(u)[. + offset_t] for every stress grid."""
+    taus = []
+    for b in blocks:
+        tau = None
+        for t in b.terms:
+            y = _lift(t, u, b.level, res_per_level)
+            contrib = t.coeff * gather_offset(y, t.coeff.shape, t.offset)
+            tau = contrib if tau is None else tau + contrib
+        taus.append(tau)
+    return taus
+
+
+def apply_DT(
+    blocks: Sequence[StressBlock],
+    taus: Sequence[jnp.ndarray],
+    u_like: UField,
+    res_per_level,
+) -> UField:
+    """u_v += sum_s coeff_{s,v} tau_s (adjoint of :func:`apply_D`)."""
+    out = {k: jnp.zeros_like(v) for k, v in u_like.items()}
+    for b, tau in zip(blocks, taus):
+        for t in b.terms:
+            fshape = face_shape(res_per_level[b.level], t.face_axis)
+            z = scatter_offset(t.coeff * tau, fshape, t.offset)
+            key = (t.src_level, t.face_axis)
+            out[key] = out[key] + _lift_adjoint(t, z, res_per_level)
+    return out
+
+
+def make_operator(
+    blocks: Sequence[StressBlock],
+    mass: UField,
+    active: UField,
+    res_per_level,
+):
+    """Return (apply_A, diag): the SPD matvec and its Jacobi diagonal.
+
+    ``active`` are boolean FLUID masks per (level, axis); A is supported on
+    them (reads and writes outside are masked away).
+    """
+
+    def apply_A(u: UField) -> UField:
+        taus = apply_D(blocks, u, res_per_level)
+        taus = [b.weight * t for b, t in zip(blocks, taus)]
+        out = apply_DT(blocks, taus, u, res_per_level)
+        return {
+            k: jnp.where(active[k], out[k] + mass[k] * u[k], 0.0) for k in u
+        }
+
+    diag = {k: jnp.zeros_like(v) for k, v in mass.items()}
+    for b in blocks:
+        for t in b.terms:
+            fshape = face_shape(res_per_level[b.level], t.face_axis)
+            z = scatter_offset(b.weight * t.coeff * t.coeff, fshape, t.offset)
+            key = (t.src_level, t.face_axis)
+            diag[key] = diag[key] + _lift_adjoint(t, z, res_per_level)
+    diag = {k: jnp.where(active[k], diag[k] + mass[k], 1.0) for k in mass}
+    return apply_A, diag
+
+
+def boundary_rhs(
+    blocks: Sequence[StressBlock],
+    mass: UField,
+    guess: UField,
+    active: UField,
+    res_per_level,
+) -> UField:
+    """rhs = M guess - D^T (W b) (cpp:2453-2456, 2772)."""
+    taus = [
+        b.weight * b.boundary if b.boundary is not None else jnp.zeros_like(b.weight)
+        for b in blocks
+    ]
+    bt = apply_DT(blocks, taus, mass, res_per_level)
+    return {
+        k: jnp.where(active[k], mass[k] * guess[k] - bt[k], 0.0) for k in mass
+    }
+
+
+# ---------------------------------------------------------------------------
+# Pytree vector algebra + preconditioned CG
+# ---------------------------------------------------------------------------
+
+
+def tree_dot(x: UField, y: UField):
+    return sum(jnp.vdot(x[k], y[k]) for k in x)
+
+
+def tree_axpy(a, x: UField, y: UField) -> UField:
+    return {k: a * x[k] + y[k] for k in x}
+
+
+def pcg(
+    apply_A,
+    rhs: UField,
+    x0: UField,
+    diag: UField,
+    tolerance: float,
+    max_iterations: int,
+):
+    """Jacobi-preconditioned conjugate gradient over pytree vectors.
+
+    Matches Eigen::ConjugateGradient's convergence rule: stop when
+    ||r||_2 <= tol * ||b||_2 (cpp:611-631).  Returns (x, iterations,
+    relative_residual).
+    """
+    inv_diag = {k: 1.0 / diag[k] for k in diag}
+
+    b_norm2 = tree_dot(rhs, rhs)
+    threshold = tolerance * tolerance * b_norm2
+
+    r0 = {k: rhs[k] - v for k, v in apply_A(x0).items()}
+    z0 = {k: inv_diag[k] * r0[k] for k in r0}
+    rz0 = tree_dot(r0, z0)
+
+    def cond(state):
+        _, r, _, _, rz, it = state
+        return (tree_dot(r, r) > threshold) & (it < max_iterations)
+
+    def body(state):
+        x, r, z, p, rz, it = state
+        ap = apply_A(p)
+        alpha = rz / tree_dot(p, ap)
+        x = tree_axpy(alpha, p, x)
+        r = tree_axpy(-alpha, ap, r)
+        z = {k: inv_diag[k] * r[k] for k in r}
+        rz_new = tree_dot(r, z)
+        beta = rz_new / rz
+        p = tree_axpy(beta, p, z)
+        return x, r, z, p, rz_new, it + 1
+
+    state = (x0, r0, z0, z0, rz0, jnp.asarray(0, jnp.int32))
+    x, r, _, _, _, iters = jax.lax.while_loop(cond, body, state)
+    rel = jnp.sqrt(tree_dot(r, r) / jnp.maximum(b_norm2, 1e-300))
+    return x, iters, rel

@@ -190,3 +190,67 @@ def edge_shape(res: Sequence[int], axis: int):
 
 def node_shape(res: Sequence[int]):
     return tuple(r + 1 for r in res)
+
+
+def face_child_sum(fine: jnp.ndarray, axis: int, coarse_shape: Sequence[int]) -> jnp.ndarray:
+    """Sum of the 4 child faces of each coarse face (unit weight per child)."""
+    x = strided_even(fine, axis)
+    t_axes = [d for d in range(3) if d != axis]
+    x = block2_sum(x, t_axes)
+    assert x.shape == tuple(coarse_shape), (x.shape, coarse_shape)
+    return x
+
+
+def face_child_sum_adjoint(coarse: jnp.ndarray, axis: int, fine_shape: Sequence[int]) -> jnp.ndarray:
+    """Adjoint of :func:`face_child_sum`: broadcast to every child face."""
+    t_axes = [d for d in range(3) if d != axis]
+    x = repeat2(coarse, t_axes)
+    x = scatter_even(x, axis, fine_shape[axis])
+    assert x.shape == tuple(fine_shape), (x.shape, fine_shape)
+    return x
+
+
+def transverse_blocksum(arr: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Sum over the aligned 2x2 transverse block containing each face
+    (the inset child faces of a dangling-edge parent face,
+    HDK_AdaptiveViscosity.cpp:1857-1880).  Self-adjoint."""
+    t_axes = [d for d in range(3) if d != axis]
+    return repeat2(block2_sum(arr, t_axes), t_axes)
+
+
+def gather_offset(src: jnp.ndarray, out_shape: Sequence[int], offset: Sequence[int], fill=0):
+    """``out[idx] = src[idx + offset]`` with out-of-bounds reading ``fill``.
+
+    Shapes may differ (staggered-grid reads across grid kinds)."""
+    pads, starts = [], []
+    for d in range(3):
+        lo = max(0, -offset[d])
+        hi = max(0, offset[d] + out_shape[d] - src.shape[d])
+        pads.append((lo, hi))
+        starts.append(offset[d] + lo)
+    p = jnp.pad(src, pads, constant_values=fill)
+    return p[tuple(slice(s, s + n) for s, n in zip(starts, out_shape))]
+
+
+def scatter_offset(w: jnp.ndarray, src_shape: Sequence[int], offset: Sequence[int]):
+    """Adjoint of :func:`gather_offset`: ``out[idx + offset] += w[idx]``."""
+    return gather_offset(w, src_shape, tuple(-o for o in offset))
+
+
+def upread_k(coarse: jnp.ndarray, out_shape: Sequence[int], k: int) -> jnp.ndarray:
+    """``out[p] = coarse[p >> k]`` — read an array k levels up at fine indices."""
+    if k == 0:
+        return coarse[tuple(slice(0, s) for s in out_shape)]
+    out = coarse
+    for d in range(coarse.ndim):
+        out = jnp.repeat(out, 1 << k, axis=d)
+    return out[tuple(slice(0, s) for s in out_shape)]
+
+
+def even_snap(arr: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """``out[i] = arr[i - (i & 1)]`` — snap odd indices to the even neighbour."""
+    idx = jnp.arange(arr.shape[axis]).reshape(
+        [arr.shape[axis] if d == axis else 1 for d in range(arr.ndim)]
+    )
+    odd = jnp.broadcast_to(idx % 2 == 1, arr.shape)
+    return jnp.where(odd, shift(arr, axis, -1), arr)

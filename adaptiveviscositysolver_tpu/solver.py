@@ -1,0 +1,176 @@
+"""Top-level per-frame adaptive viscosity solve — one jitted pipeline.
+
+The TPU-native equivalent of HDK_AdaptiveViscosity::solveGasSubclass
+(/root/reference/Source/HDK_AdaptiveViscosity.cpp:126-710): given the liquid
+SDF, solid SDF, staggered velocity, solid velocity, viscosity and density
+fields, rebuild the octree, classify DOFs, build the variational stress
+stencils, solve the SPD system with Jacobi-preconditioned CG, and write the
+solution back to the uniform grid.
+
+Everything below runs as a single ``jax.jit`` program with static shapes:
+the octree topology lives in dense mask/coefficient arrays, so a topology
+change never triggers recompilation.
+
+Stage names mirror the reference's perf-monitor events (cpp:306-880) via
+``jax.named_scope`` so device profiles decompose the same way BASELINE.md
+does.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import classify, fields, interpolator, octree, operator, restriction, stencils, writeback
+from .config import SolverConfig, capped_levels
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FluidState:
+    """Per-frame inputs on the finest grid (all dense arrays).
+
+    Mirrors the reference's seven DOP field bindings (cpp:138-231).  Solid
+    SDF uses the standard convention (negative inside the solid).
+    """
+
+    liquid_sdf: jnp.ndarray                 # (nx, ny, nz) cell-sampled
+    solid_sdf: jnp.ndarray                  # (nx, ny, nz) cell-sampled
+    velocity: Tuple[jnp.ndarray, ...]       # 3 face-sampled (MAC)
+    solid_velocity: Tuple[jnp.ndarray, ...] # 3 face-sampled
+    viscosity: jnp.ndarray                  # cell-sampled
+    density: jnp.ndarray                    # cell-sampled
+    dx: float = dataclasses.field(metadata=dict(static=True))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SolveStats:
+    iterations: jnp.ndarray
+    residual: jnp.ndarray
+    octree_dofs: jnp.ndarray
+    regular_dofs: jnp.ndarray
+    active_cells: jnp.ndarray  # per level
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SolveResult:
+    velocity: Tuple[jnp.ndarray, ...]   # updated uniform-grid velocity
+    stats: SolveStats
+
+
+def solve_viscosity(
+    state: FluidState,
+    dt,
+    config: SolverConfig = SolverConfig(),
+    face_weights: Optional[Sequence[jnp.ndarray]] = None,
+) -> SolveResult:
+    """One viscosity solve (the reference's per-frame solveGasSubclass).
+
+    ``face_weights`` are the host FLIP loop's face volume fractions
+    ("surfaceweights", cpp:144); computed internally when omitted.
+    """
+    dx = state.dx
+    extrapolation = config.extrapolation * dx
+    liquid = state.liquid_sdf
+    solid = state.solid_sdf
+    levels = capped_levels(liquid.shape, config.octree_levels)
+
+    with jax.named_scope("compute_surface_weights"):
+        center_w, edge_w = fields.integration_weights(
+            liquid, solid, config.num_supersamples, extrapolation,
+            config.apply_solid_weights,
+        )
+        if face_weights is None:
+            face_w = fields.face_weights(
+                liquid, solid, config.num_supersamples, extrapolation,
+                config.apply_solid_weights,
+            )
+        else:
+            face_w = list(face_weights)
+
+    with jax.named_scope("build_octree"):
+        inner_band = dx * max(2.0, float(config.fine_bandwidth))
+        mask = octree.build_refinement_mask(
+            liquid, solid, dx, extrapolation, 3.0 * dx, inner_band
+        )
+        labels = octree.build_octree(mask, levels)
+
+    with jax.named_scope("build_labels"):
+        vel_kinds = classify.classify_octree_velocity(
+            labels, center_w, edge_w, solid, extrapolation
+        )
+        edge_kinds = classify.classify_edge_stress(labels, edge_w)
+        center_kinds = classify.classify_center_stress(labels, center_w)
+        regular_kinds = [
+            classify.classify_regular_velocity(center_w, edge_w, solid, extrapolation, a)
+            for a in range(3)
+        ]
+
+    res_per_level = [tuple(l.shape) for l in labels]
+    active = {
+        (l, a): vel_kinds[l][a] == classify.FLUID
+        for l in range(levels)
+        for a in range(3)
+    }
+
+    with jax.named_scope("build_stress_stencils"):
+        sdtype = state.viscosity.dtype
+        blocks = stencils.build_edge_stress_blocks(
+            labels, vel_kinds, edge_kinds, edge_w,
+            state.viscosity, state.solid_velocity, dt, dx, config,
+        ) + stencils.build_center_stress_blocks(
+            labels, vel_kinds, center_kinds, center_w,
+            state.viscosity, state.solid_velocity, dt, dx, config,
+        )
+        mass = stencils.build_mass(labels, vel_kinds, face_w, state.density)
+
+    with jax.named_scope("restrict_velocity"):
+        guess_raw = restriction.restrict_velocity_pyramid(
+            [v.astype(sdtype) for v in state.velocity], levels
+        )
+        guess = {k: jnp.where(active[k], guess_raw[k], 0.0) for k in active}
+
+    with jax.named_scope("build_system"):
+        apply_A, diag = operator.make_operator(blocks, mass, active, res_per_level)
+        rhs = operator.boundary_rhs(blocks, mass, guess, active, res_per_level)
+
+    with jax.named_scope("solve"):
+        solution, iters, rel = operator.pcg(
+            apply_A, rhs, guess, diag, config.tolerance, config.max_iterations
+        )
+
+    with jax.named_scope("interpolate_writeback"):
+        interpolated = interpolator.interpolate_writeback_fields(
+            labels, solution, vel_kinds, levels
+        )
+
+    with jax.named_scope("writeback"):
+        new_velocity = writeback.apply_to_regular_grid(
+            state.velocity, solution, labels, vel_kinds, regular_kinds,
+            state.solid_velocity, levels, interpolated,
+        )
+
+    stats = SolveStats(
+        iterations=iters,
+        residual=rel,
+        octree_dofs=sum(jnp.sum(m) for m in active.values()),
+        regular_dofs=sum(jnp.sum(k == classify.FLUID) for k in regular_kinds),
+        active_cells=octree.active_cell_counts(labels),
+    )
+    return SolveResult(velocity=tuple(new_velocity), stats=stats)
+
+
+def make_solver(config: SolverConfig = SolverConfig()):
+    """Jitted solve closure: ``solve(state, dt) -> SolveResult``."""
+
+    @functools.partial(jax.jit, static_argnames=())
+    def solve(state: FluidState, dt):
+        return solve_viscosity(state, dt, config)
+
+    return solve

@@ -20,7 +20,7 @@ def make_scene(n=16, levels=3, with_solid=True):
     liquid = np.sqrt((X - 0.5) ** 2 + (Y - 0.55) ** 2 + (Z - 0.5) ** 2) - 0.28
     if with_solid:
         solid = Y - 0.3  # floor below y=0.3 (negative inside solid)
-        liquid = np.minimum(liquid, 0.35 - Y)  # liquid fills above floor
+        liquid = np.minimum(liquid, Y - 0.35)  # pool below y=0.35 over the floor
     else:
         solid = np.full_like(liquid, 1e3)
     extrapolation = 0.5 * dx
