@@ -42,9 +42,11 @@ scaling of the whole system.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from . import classify, octree
@@ -63,6 +65,11 @@ SOLIDBOUNDARY = classify.SOLIDBOUNDARY
 OUTSIDE = classify.OUTSIDE
 
 
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["coeff"],
+    meta_fields=["lift", "face_axis", "src_level", "offset"],
+)
 @dataclasses.dataclass
 class StressTerm:
     """One dense contribution ``tau += coeff * gather(lift(u_src), offset)``."""
@@ -74,6 +81,11 @@ class StressTerm:
     coeff: jnp.ndarray   # stress-grid-shaped; zero where the case is inactive
 
 
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["weight", "terms", "boundary"],
+    meta_fields=["kind", "level", "axis"],
+)
 @dataclasses.dataclass
 class StressBlock:
     """All terms + integration weight for one stress grid."""

@@ -1,61 +1,141 @@
 """Benchmark: per-frame adaptive viscosity solve wall-clock on the live chip.
 
-Prints ONE JSON line: the viscousBuckling-analog per-frame solve time at
-64^3 with 4 octree levels (the reference's headline workload; BASELINE.md).
-``vs_baseline`` is the speedup over running the identical jitted pipeline on
-the host CPU (the reference itself is a CPU-only Houdini plugin with no
-published numbers, so the measured CPU run of the same solve stands in as
-the baseline hardware).
+Prints ONE JSON line for the viscousBuckling-analog workload (64^3, 4 octree
+levels, tolerance 1e-4 — BASELINE.md's headline config).
+
+``value``        — full per-frame solve (octree build + classification +
+                   stencils + restriction + CG + interpolated writeback) on
+                   the TPU, milliseconds, best of N after warm-up.
+``vs_baseline``  — speedup vs the CPU solving the *same assembled system*
+                   with scipy's Jacobi-preconditioned CG from the same
+                   initial guess to the same tolerance: a stand-in for the
+                   reference's Eigen-CG hot path (cpp:611-631).  The real
+                   reference frame also pays octree build + assembly on the
+                   CPU, so this baseline understates the true speedup.
 """
 
 import json
+import os
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 
 
-def time_solve(platform: str, n=64, repeats=3):
-    devices = [d for d in jax.devices(platform)]
-    device = devices[0]
-    from adaptiveviscositysolver_tpu import scenes
-    from adaptiveviscositysolver_tpu.config import SolverConfig
+def main():
+    from adaptiveviscositysolver_tpu import (
+        classify, export, fields, octree, restriction, scenes, stencils,
+    )
+    from adaptiveviscositysolver_tpu.config import SolverConfig, capped_levels
     from adaptiveviscositysolver_tpu.solver import solve_viscosity
 
+    n = int(os.environ.get("AVS_BENCH_N", "64"))
     config = SolverConfig(octree_levels=4, tolerance=1e-4)
     state = scenes.buckling(n=n)
-    state = jax.device_put(state, device)
     dt = jnp.float32(1.0 / 24.0)
 
     solve = jax.jit(lambda s, t: solve_viscosity(s, t, config))
-    out = solve(state, dt)
-    jax.block_until_ready(out)  # compile + warm-up
+
+    def run_blocking():
+        out = solve(state, dt)
+        # force a real device round-trip: block_until_ready may return
+        # early through the remote-device tunnel
+        np.asarray(out.velocity[0])
+        float(out.stats.residual)
+        return out
+
+    t0 = time.perf_counter()
+    out = run_blocking()
+    compile_s = time.perf_counter() - t0
 
     best = float("inf")
-    for _ in range(repeats):
+    for _ in range(4):
         t0 = time.perf_counter()
-        out = solve(state, dt)
-        jax.block_until_ready(out)
+        out = run_blocking()
         best = min(best, time.perf_counter() - t0)
-    return best * 1e3, out
+    tpu_ms = best * 1e3
 
+    # ---- CPU baseline: scipy Jacobi-CG on the same assembled system
+    levels = capped_levels(state.liquid_sdf.shape, config.octree_levels)
+    dx = state.dx
+    extrap = config.extrapolation * dx
 
-def main():
-    tpu_ms, out = time_solve("tpu" if any(
-        d.platform == "tpu" for d in jax.devices()) else None)
+    @jax.jit
+    def build_parts(st):
+        cw, ew = fields.integration_weights(
+            st.liquid_sdf, st.solid_sdf, config.num_supersamples, extrap, False)
+        fw = fields.face_weights(
+            st.liquid_sdf, st.solid_sdf, config.num_supersamples, extrap, False)
+        mask = octree.build_refinement_mask(
+            st.liquid_sdf, st.solid_sdf, dx, extrap, 3 * dx,
+            dx * max(2.0, float(config.fine_bandwidth)))
+        labels = octree.build_octree(mask, levels)
+        vk = classify.classify_octree_velocity(labels, cw, ew, st.solid_sdf, extrap)
+        ek = classify.classify_edge_stress(labels, ew)
+        ck = classify.classify_center_stress(labels, cw)
+        blocks = stencils.build_edge_stress_blocks(
+            labels, vk, ek, ew, st.viscosity, st.solid_velocity,
+            jnp.float32(1.0 / 24.0), dx, config,
+        ) + stencils.build_center_stress_blocks(
+            labels, vk, ck, cw, st.viscosity, st.solid_velocity,
+            jnp.float32(1.0 / 24.0), dx, config,
+        )
+        mass = stencils.build_mass(labels, vk, fw, st.density)
+        guess = restriction.restrict_velocity_pyramid(list(st.velocity), levels)
+        guess = {k: jnp.where(vk[k[0]][k[1]] == classify.FLUID, guess[k], 0.0)
+                 for k in mass}
+        return blocks, mass, vk, guess
+
+    baseline_ms = None
+    cg_iters_cpu = None
     try:
-        cpu_ms, _ = time_solve("cpu")
-    except Exception:
-        cpu_ms = float("nan")
+        import scipy.sparse.linalg as spla
+
+        blocks, mass, vk, guess = jax.device_get(build_parts(state))
+        rpl = [tuple(int(d) >> l for d in state.liquid_sdf.shape)
+               for l in range(levels)]
+        A, rhs, vel_idx, ndof = export.export_sparse_system(blocks, mass, vk, guess, rpl)
+        x0 = np.zeros(ndof)
+        for l in range(levels):
+            for a in range(3):
+                idx = vel_idx[l][a]
+                sel = idx >= 0
+                x0[idx[sel]] = np.asarray(guess[(l, a)])[sel]
+        minv = 1.0 / A.diagonal()
+        M = spla.LinearOperator(A.shape, matvec=lambda v: minv * v)
+        it = [0]
+
+        def cb(_):
+            it[0] += 1
+
+        t0 = time.perf_counter()
+        x, info = spla.cg(A, rhs, x0=x0, rtol=config.tolerance,
+                          maxiter=config.max_iterations, M=M, callback=cb)
+        baseline_ms = (time.perf_counter() - t0) * 1e3
+        cg_iters_cpu = it[0]
+    except Exception as e:
+        import sys, traceback
+
+        traceback.print_exc(file=sys.stderr)
+
     print(json.dumps({
-        "metric": "buckling_64_solve_wallclock",
+        "metric": f"buckling_{n}_frame_solve",
         "value": round(tpu_ms, 2),
         "unit": "ms",
-        "vs_baseline": round(cpu_ms / tpu_ms, 2) if cpu_ms == cpu_ms else None,
+        "vs_baseline": round(baseline_ms / tpu_ms, 2) if baseline_ms else None,
+        "baseline": "scipy Jacobi-CG (CPU) on the same system, solve stage only",
+        "baseline_ms": round(baseline_ms, 2) if baseline_ms else None,
         "cg_iterations": int(out.stats.iterations),
+        "cpu_cg_iterations": cg_iters_cpu,
         "residual": float(out.stats.residual),
         "octree_dofs": int(out.stats.octree_dofs),
         "regular_dofs": int(out.stats.regular_dofs),
+        "compile_s": round(compile_s, 1),
     }))
 
 

@@ -209,3 +209,25 @@ def test_operator_spd(setup):
 
         lam = eigsh(A, k=1, which="SA", return_eigenvectors=False)[0]
         assert lam > 0, f"not SPD: min eig {lam}"
+
+
+def test_export_sparse_system_matches_oracle(setup):
+    """Host-side scipy export of the system equals the oracle assembly."""
+    from adaptiveviscositysolver_tpu import export, restriction
+
+    case, osys, (blocks, mass, active, apply_A, diag, rpl) = setup
+    guess = restriction.restrict_velocity_pyramid(
+        [jnp.asarray(v) for v in case["regular_vel"]], case["levels"]
+    )
+    guess = {k: jnp.where(active[k], guess[k], 0.0) for k in active}
+    A, rhs, vel_idx, n = export.export_sparse_system(
+        blocks, mass, case["jvk"], guess, rpl
+    )
+    assert n == osys["n_vel"]
+    for l in range(case["levels"]):
+        for a in range(3):
+            np.testing.assert_array_equal(vel_idx[l][a], osys["vel_idx"][l][a])
+    diff = (A - osys["A"]).tocoo()
+    max_err = np.abs(diff.data).max() if diff.nnz else 0.0
+    assert max_err < 1e-9, max_err
+    np.testing.assert_allclose(rhs, osys["rhs"], rtol=1e-9, atol=1e-10)
