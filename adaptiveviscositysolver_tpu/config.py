@@ -50,6 +50,12 @@ class SolverConfig:
     # choice; fp64 works on CPU for oracle parity tests.
     dtype: jnp.dtype = jnp.float32
 
+    # Rebuild the stencil coefficient arrays from the int8 classification
+    # grids inside the CG loop body instead of streaming ~100 MB of
+    # materialized f32 coefficients from HBM every matvec.  Identical
+    # numerics; purely a bandwidth/recompute trade on the device.
+    fused_apply: bool = True
+
     def __post_init__(self):
         if self.octree_levels < 1:
             raise ValueError("octree_levels must be >= 1")

@@ -105,17 +105,27 @@ def make_operator(
     mass: UField,
     active: UField,
     res_per_level,
+    terms_builder=None,
 ):
     """Return (apply_A, diag): the SPD matvec and its Jacobi diagonal.
 
     ``active`` are boolean FLUID masks per (level, axis); A is supported on
     them (reads and writes outside are masked away).
+
+    ``terms_builder``: optional zero-arg callable returning a parallel list
+    of StressBlocks whose *terms* are used in place of ``blocks``'s.  When
+    the matvec runs inside a CG while-loop, rebuilding the coefficient
+    arrays from the (tiny, int8) classification grids per iteration trades
+    ~100 MB of loop-carried f32 HBM reads for cheap fused element-wise
+    recompute — XLA does not hoist expanding computations out of the loop,
+    so the rebuild genuinely stays in the loop body.
     """
 
     def apply_A(u: UField) -> UField:
-        taus = apply_D(blocks, u, res_per_level)
+        work = terms_builder() if terms_builder is not None else blocks
+        taus = apply_D(work, u, res_per_level)
         taus = [b.weight * t for b, t in zip(blocks, taus)]
-        out = apply_DT(blocks, taus, u, res_per_level)
+        out = apply_DT(work, taus, u, res_per_level)
         return {
             k: jnp.where(active[k], out[k] + mass[k] * u[k], 0.0) for k in u
         }

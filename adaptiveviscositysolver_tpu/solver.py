@@ -64,6 +64,31 @@ class SolveResult:
     stats: SolveStats
 
 
+def _validate_state(state: FluidState) -> None:
+    """Structural validation of the seven input fields — the analog of the
+    reference's field checks (cpp:152-231), raised at trace time."""
+    res = state.liquid_sdf.shape
+    if len(res) != 3:
+        raise ValueError(f"liquid_sdf must be 3-D, got {res}")
+    for name in ("solid_sdf", "viscosity", "density"):
+        f = getattr(state, name)
+        if f.shape != res:
+            raise ValueError(f"{name} must align with liquid_sdf: {f.shape} != {res}")
+    for group, vel in (("velocity", state.velocity),
+                       ("solid_velocity", state.solid_velocity)):
+        if len(vel) != 3:
+            raise ValueError(f"{group} must have 3 staggered components")
+        for a in range(3):
+            want = tuple(r + (1 if d == a else 0) for d, r in enumerate(res))
+            if vel[a].shape != want:
+                raise ValueError(
+                    f"{group}[{a}] must be face-sampled (MAC): "
+                    f"{vel[a].shape} != {want}"
+                )
+    if state.dx <= 0:
+        raise ValueError("dx must be positive")
+
+
 def solve_viscosity(
     state: FluidState,
     dt,
@@ -75,6 +100,7 @@ def solve_viscosity(
     ``face_weights`` are the host FLIP loop's face volume fractions
     ("surfaceweights", cpp:144); computed internally when omitted.
     """
+    _validate_state(state)
     dx = state.dx
     extrapolation = config.extrapolation * dx
     liquid = state.liquid_sdf
@@ -137,7 +163,22 @@ def solve_viscosity(
         guess = {k: jnp.where(active[k], guess_raw[k], 0.0) for k in active}
 
     with jax.named_scope("build_system"):
-        apply_A, diag = operator.make_operator(blocks, mass, active, res_per_level)
+        terms_builder = None
+        if config.fused_apply:
+            def terms_builder():
+                return stencils.build_edge_stress_blocks(
+                    labels, vel_kinds, edge_kinds, edge_w,
+                    state.viscosity, state.solid_velocity, dt, dx, config,
+                    with_weights=False,
+                ) + stencils.build_center_stress_blocks(
+                    labels, vel_kinds, center_kinds, center_w,
+                    state.viscosity, state.solid_velocity, dt, dx, config,
+                    with_weights=False,
+                )
+
+        apply_A, diag = operator.make_operator(
+            blocks, mass, active, res_per_level, terms_builder=terms_builder
+        )
         rhs = operator.boundary_rhs(blocks, mass, guess, active, res_per_level)
 
     with jax.named_scope("solve"):

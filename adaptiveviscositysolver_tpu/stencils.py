@@ -154,9 +154,14 @@ def build_edge_stress_blocks(
     dt,
     dx: float,
     config: SolverConfig,
+    with_weights: bool = True,
 ) -> List[StressBlock]:
     """Edge (shear) stress term bundles per level/axis
     (buildEdgeStressStencilsPartial, cpp:2059-2160).
+
+    ``with_weights=False`` skips the integration-weight/boundary arrays —
+    used when terms are rebuilt inside the CG loop so the (loop-invariant)
+    coefficient construction trades HBM reads for cheap int8 recompute.
 
     Note: for solid-boundary faces the reference samples the *edge-axis*
     component of the solid velocity (cpp:1901) although the face being
@@ -256,16 +261,21 @@ def build_edge_stress_blocks(
                         contrib = jnp.where(sb, 0.5 * base * sv, 0.0)
                         boundary = contrib if boundary is None else boundary + contrib
 
-            # integration weight (cpp:2124-2155): stretched index-unit volume
-            vol = dxi  # along the edge axis
-            for f in f_axes:
-                g = 3 - a - f
-                vol = vol * dxi * (1.0 + 0.5 * n_unassigned[g])
-            if level == 0:
-                w0 = edge_w0[a].astype(fdtype)
-                vol = jnp.where(w0 == 1.0, vol, w0)
-            visc = sample_cell_field_at(viscosity, level, "edge", a)
-            weight = jnp.where(active_edge, 4.0 * dt * vol * visc, 0.0)
+            if with_weights:
+                # integration weight (cpp:2124-2155): stretched index-unit
+                # volume
+                vol = dxi  # along the edge axis
+                for f in f_axes:
+                    g = 3 - a - f
+                    vol = vol * dxi * (1.0 + 0.5 * n_unassigned[g])
+                if level == 0:
+                    w0 = edge_w0[a].astype(fdtype)
+                    vol = jnp.where(w0 == 1.0, vol, w0)
+                visc = sample_cell_field_at(viscosity, level, "edge", a)
+                weight = jnp.where(active_edge, 4.0 * dt * vol * visc, 0.0)
+            else:
+                weight = None
+                boundary = None
 
             blocks.append(StressBlock("edge", level, a, weight, terms, boundary))
     return blocks
@@ -281,6 +291,7 @@ def build_center_stress_blocks(
     dt,
     dx: float,
     config: SolverConfig,
+    with_weights: bool = True,
 ) -> List[StressBlock]:
     """Center (normal) stress term bundles per level and component axis
     (buildCenterStressStencilsPartial + weights, cpp:2162-2289)."""
@@ -291,13 +302,16 @@ def build_center_stress_blocks(
         dxw = dx * (1 << level)
         dxi = float(1 << level)
         active_c = center_kinds[level] == FLUID
-        # weight shared across the three component axes (cpp:2184-2186)
-        if level == 0:
-            vol = center_w0.astype(viscosity.dtype)
+        if with_weights:
+            # weight shared across the three component axes (cpp:2184-2186)
+            if level == 0:
+                vol = center_w0.astype(viscosity.dtype)
+            else:
+                vol = jnp.full(res, dxi ** 3, viscosity.dtype)
+            visc = sample_cell_field_at(viscosity, level, "center")
+            weight = jnp.where(active_c, 2.0 * dt * vol * visc, 0.0)
         else:
-            vol = jnp.full(res, dxi ** 3, viscosity.dtype)
-        visc = sample_cell_field_at(viscosity, level, "center")
-        weight = jnp.where(active_c, 2.0 * dt * vol * visc, 0.0)
+            weight = None
 
         for axis in range(3):
             terms: List[StressTerm] = []
@@ -326,7 +340,10 @@ def build_center_stress_blocks(
                     sv = gather_offset(solid_velocity[axis], res, off)
                     contrib = jnp.where(sb, sign / dxw * sv, 0.0)
                     boundary = contrib if boundary is None else boundary + contrib
-            blocks.append(StressBlock("center", level, axis, weight, terms, boundary))
+            blocks.append(StressBlock(
+                "center", level, axis, weight, terms,
+                boundary if with_weights else None,
+            ))
     return blocks
 
 

@@ -1,0 +1,103 @@
+"""Topology maps, checkpointing, native module, and input validation."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from adaptiveviscositysolver_tpu import native, scenes, topology
+from adaptiveviscositysolver_tpu.solver import FluidState, _validate_state
+from adaptiveviscositysolver_tpu.utils import checkpoint
+from tests.oracle import reference_oracle as oracle
+
+
+def test_topology_maps_match_oracle():
+    rng = np.random.default_rng(0)
+    pts = rng.integers(2, 30, size=(50, 3))
+    for p in pts:
+        p = tuple(int(v) for v in p)
+        jp = jnp.asarray(p, jnp.int32)
+        for axis in range(3):
+            for d in (0, 1):
+                assert tuple(topology.cell_to_face(jp, axis, d).tolist()) == \
+                    oracle.cell_to_face(p, axis, d)
+                assert tuple(topology.face_to_cell(jp, axis, d).tolist()) == \
+                    oracle.face_to_cell(p, axis, d)
+                assert tuple(topology.cell_to_cell(jp, axis, d).tolist()) == \
+                    oracle.cell_to_cell(p, axis, d)
+            for i in range(4):
+                assert tuple(topology.cell_to_edge(jp, axis, i).tolist()) == \
+                    oracle.cell_to_edge(p, axis, i)
+                assert tuple(topology.edge_to_cell(jp, axis, i).tolist()) == \
+                    oracle.edge_to_cell(p, axis, i)
+                assert tuple(topology.face_to_node(jp, axis, i).tolist()) == \
+                    oracle.face_to_node(p, axis, i)
+                assert tuple(topology.node_to_face(jp, axis, i).tolist()) == \
+                    oracle.node_to_face(p, axis, i)
+            for ea in range(3):
+                if ea == axis:
+                    continue
+                for d in (0, 1):
+                    assert tuple(topology.face_to_edge(jp, axis, ea, d).tolist()) == \
+                        oracle.face_to_edge(p, axis, ea, d)
+                    assert tuple(topology.edge_to_face(jp, ea, axis, d).tolist()) == \
+                        oracle.edge_to_face(p, ea, axis, d)
+                for ci in (0, 1):
+                    assert tuple(
+                        topology.child_edge_in_face(jp, axis, ea, ci).tolist()
+                    ) == oracle.child_edge_in_face(p, axis, ea, ci)
+        for i in range(8):
+            assert tuple(topology.cell_to_node(jp, i).tolist()) == \
+                oracle.cell_to_node(p, i)
+            assert tuple(topology.node_to_cell(jp, i).tolist()) == \
+                oracle.node_to_cell(p, i)
+            assert tuple(topology.child_cell(jp, i).tolist()) == \
+                oracle.child_cell(p, i)
+        for axis in range(3):
+            for i in range(4):
+                assert tuple(topology.child_face(jp, axis, i).tolist()) == \
+                    oracle.child_face(p, axis, i)
+        assert tuple(topology.parent(jp).tolist()) == oracle.parent(p)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = scenes.beam(n=8)
+    path = str(tmp_path / "ckpt")
+    checkpoint.save(path, state, step=7)
+    restored, step = checkpoint.load(path)
+    assert step == 7
+    np.testing.assert_array_equal(np.asarray(restored.liquid_sdf),
+                                  np.asarray(state.liquid_sdf))
+    for a in range(3):
+        np.testing.assert_array_equal(np.asarray(restored.velocity[a]),
+                                      np.asarray(state.velocity[a]))
+    assert restored.dx == state.dx
+
+
+def test_validate_state_rejects_bad_shapes():
+    state = scenes.beam(n=8)
+    _validate_state(state)  # good state passes
+    import dataclasses
+
+    bad = dataclasses.replace(state, viscosity=state.viscosity[:-1])
+    with pytest.raises(ValueError, match="viscosity"):
+        _validate_state(bad)
+    bad = dataclasses.replace(
+        state, velocity=(state.velocity[1],) + tuple(state.velocity[1:])
+    )
+    with pytest.raises(ValueError, match="face-sampled"):
+        _validate_state(bad)
+
+
+def test_native_ply_fallback_matches(tmp_path):
+    from adaptiveviscositysolver_tpu import octree
+
+    mask = np.zeros((8, 8, 8), np.int8)
+    mask[:4] = 1
+    labels = [np.asarray(l) for l in octree.build_octree(jnp.asarray(mask), 2)]
+    out = str(tmp_path / "oct.ply")
+    n = native.export_octree_ply(labels, 0.125, out)
+    data = open(out, "rb").read(200)
+    assert b"ply" in data and n > 0
+    fails = native.check_octree_invariants(labels)
+    assert fails == []

@@ -231,3 +231,33 @@ def test_export_sparse_system_matches_oracle(setup):
     max_err = np.abs(diff.data).max() if diff.nnz else 0.0
     assert max_err < 1e-9, max_err
     np.testing.assert_allclose(rhs, osys["rhs"], rtol=1e-9, atol=1e-10)
+
+
+def test_fused_apply_equals_materialized(setup):
+    """Rebuilding terms per matvec (the CG-loop bandwidth optimization)
+    must produce the identical operator."""
+    case, osys, (blocks, mass, active, apply_A, diag, rpl) = setup
+    sv = [jnp.asarray(v) for v in case["solid_vel"]]
+
+    def terms_builder():
+        return stencils.build_edge_stress_blocks(
+            case["jlabels"], case["jvk"], case["jek"], case["jew"],
+            jnp.asarray(case["viscosity"]), sv, case["dt"], case["dx"],
+            case["cfg"], with_weights=False,
+        ) + stencils.build_center_stress_blocks(
+            case["jlabels"], case["jvk"], case["jck"], case["jcw"],
+            jnp.asarray(case["viscosity"]), sv, case["dt"], case["dx"],
+            case["cfg"], with_weights=False,
+        )
+
+    apply_fused, diag2 = operator.make_operator(
+        blocks, mass, active, rpl, terms_builder=terms_builder
+    )
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=osys["n_vel"])
+    u = vec_to_grids(x, osys["vel_idx"])
+    a1 = jax.jit(apply_A)(u)
+    a2 = jax.jit(apply_fused)(u)
+    for k in a1:
+        np.testing.assert_allclose(np.asarray(a2[k]), np.asarray(a1[k]),
+                                   rtol=1e-12, atol=1e-14)
