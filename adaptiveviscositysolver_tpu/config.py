@@ -50,11 +50,19 @@ class SolverConfig:
     # choice; fp64 works on CPU for oracle parity tests.
     dtype: jnp.dtype = jnp.float32
 
-    # Rebuild the stencil coefficient arrays from the int8 classification
-    # grids inside the CG loop body instead of streaming ~100 MB of
-    # materialized f32 coefficients from HBM every matvec.  Identical
-    # numerics; purely a bandwidth/recompute trade on the device.
-    fused_apply: bool = True
+    # Matvec implementation (identical numerics, different HBM behavior):
+    #   "v1"       — reference implementation of the apply (per-term gathers)
+    #   "v1-fused" — v1 with coefficients rebuilt inside the CG loop
+    #   "v2"       — halo-padded slice-only apply (bandwidth-lean)
+    #   "v2-fused" — v2 + in-loop coefficient rebuild
+    # v2 is designed for HBM-bandwidth-bound parts; on the current bench
+    # device its strided cross-level reads lower poorly, so v1-fused is the
+    # default.
+    apply_impl: str = "v1-fused"
+
+    @property
+    def fused_apply(self) -> bool:
+        return self.apply_impl.endswith("-fused")
 
     def __post_init__(self):
         if self.octree_levels < 1:

@@ -215,3 +215,75 @@ def pcg(
     x, r, _, _, _, iters = jax.lax.while_loop(cond, body, state)
     rel = jnp.sqrt(tree_dot(r, r) / jnp.maximum(b_norm2, 1e-300))
     return x, iters, rel
+
+
+# ---------------------------------------------------------------------------
+# Flat-packed CG: carry ONE contiguous vector instead of 12 pyramid arrays.
+# On the device the per-array dispatch overhead of pytree vector ops dominates
+# the CG's non-matvec cost; packing makes every dot/axpy a single-kernel pass.
+# Unpacking for the matvec is free (contiguous slice + reshape); repacking is
+# one concatenate.
+# ---------------------------------------------------------------------------
+
+
+def make_packer(shapes: Dict[Tuple[int, int], Tuple[int, int, int]]):
+    import math
+
+    keys = sorted(shapes)
+    sizes = [math.prod(shapes[k]) for k in keys]
+    offsets = [0]
+    for s in sizes:
+        offsets.append(offsets[-1] + s)
+
+    def pack(tree: UField) -> jnp.ndarray:
+        return jnp.concatenate([tree[k].reshape(-1) for k in keys])
+
+    def unpack(flat: jnp.ndarray) -> UField:
+        return {
+            k: flat[offsets[i]:offsets[i + 1]].reshape(shapes[k])
+            for i, k in enumerate(keys)
+        }
+
+    return pack, unpack
+
+
+def pcg_flat(apply_A, rhs: UField, x0: UField, diag: UField,
+             tolerance: float, max_iterations: int):
+    """Same math as :func:`pcg`, with flat-vector state (single-kernel
+    dots/axpys).  ``apply_A`` still maps grid pytrees to grid pytrees."""
+    shapes = {k: tuple(v.shape) for k, v in rhs.items()}
+    pack, unpack = make_packer(shapes)
+
+    def A(flat):
+        return pack(apply_A(unpack(flat)))
+
+    b = pack(rhs)
+    x = pack(x0)
+    invd = 1.0 / pack(diag)
+
+    b_norm2 = jnp.vdot(b, b)
+    threshold = tolerance * tolerance * b_norm2
+
+    r0 = b - A(x)
+    z0 = invd * r0
+    rz0 = jnp.vdot(r0, z0)
+
+    def cond(state):
+        _, r, _, _, rz, it = state
+        return (jnp.vdot(r, r) > threshold) & (it < max_iterations)
+
+    def body(state):
+        x, r, z, p, rz, it = state
+        ap = A(p)
+        alpha = rz / jnp.vdot(p, ap)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = invd * r
+        rz_new = jnp.vdot(r, z)
+        p = z + (rz_new / rz) * p
+        return x, r, z, p, rz_new, it + 1
+
+    state = (x, r0, z0, z0, rz0, jnp.asarray(0, jnp.int32))
+    x, r, _, _, _, iters = jax.lax.while_loop(cond, body, state)
+    rel = jnp.sqrt(jnp.vdot(r, r) / jnp.maximum(b_norm2, 1e-300))
+    return unpack(x), iters, rel

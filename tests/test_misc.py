@@ -101,3 +101,16 @@ def test_native_ply_fallback_matches(tmp_path):
     assert b"ply" in data and n > 0
     fails = native.check_octree_invariants(labels)
     assert fails == []
+
+
+def test_flip_demo_loop_runs():
+    from adaptiveviscositysolver_tpu.config import SolverConfig
+    from adaptiveviscositysolver_tpu.models import flip
+
+    state = scenes.buckling(n=16, dtype=jnp.float64)
+    cfg = SolverConfig(octree_levels=2, max_iterations=40, tolerance=1e-5)
+    out, stats = flip.simulate(state, frames=2, dt=1 / 48.0, config=cfg)
+    assert len(stats) == 2
+    assert all(np.isfinite(np.asarray(out.velocity[a])).all() for a in range(3))
+    # the column is falling: vertical momentum stays negative
+    assert float(np.asarray(out.velocity[1]).mean()) < 0.0

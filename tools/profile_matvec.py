@@ -15,25 +15,27 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def timed_scan(fn, u, K, label):
+def timed_scan(fn, u, K, label, *data):
+    """fn(u, *data); ``data`` pytrees are passed as jit arguments so big
+    coefficient arrays don't get baked into the HLO as literals."""
     @jax.jit
-    def rep(u):
+    def rep(u, *data):
         def body(c, _):
-            v = fn(c)
+            v = fn(c, *data)
             # keep magnitudes bounded so repeated application stays finite
             return {k: 0.01 * x for k, x in v.items()}, None
         v, _ = lax.scan(body, u, None, length=K)
         return v
 
-    out = rep(u)
+    out = rep(u, *data)
     np.asarray(jax.tree_util.tree_leaves(out)[0])
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        out = rep(u)
+        out = rep(u, *data)
         np.asarray(jax.tree_util.tree_leaves(out)[0])
         best = min(best, time.perf_counter() - t0)
-    print(f"{label:34s}: {best / K * 1e3:8.3f} ms/apply")
+    print(f"{label:34s}: {best / K * 1e3:8.3f} ms/apply", flush=True)
     return best / K
 
 
@@ -76,6 +78,10 @@ def main():
     active = {(l, a): vk[l][a] == classify.FLUID for l in range(levels) for a in range(3)}
     u0 = {k: jnp.where(active[k], 1.0, 0.0).astype(jnp.float32) for k in mass}
 
+    def apply_with(u, blocks, mass):
+        f, _ = operator.make_operator(blocks, mass, active, rpl)
+        return f(u)
+
     apply_mat, diag = operator.make_operator(blocks, mass, active, rpl)
 
     def terms_builder():
@@ -95,33 +101,21 @@ def main():
     apply_l0, _ = operator.make_operator(lvl0, mass, active, rpl)
     apply_coarse, _ = operator.make_operator(coarse, mass, active, rpl)
 
-    def d_only(u):
-        taus = operator.apply_D(blocks, u, rpl)
-        # reduce taus back onto u's structure so the scan carry type matches
-        out = {k: jnp.zeros_like(v) for k, v in u.items()}
-        for b, t in zip(blocks, taus):
-            key = (b.level, b.terms[0].face_axis)
-            out[key] = out[key] + jnp.sum(t) * 0 + out[key]
-        s = sum(jnp.sum(t) for t in taus)
-        return {k: v + s * 0 for k, v in u.items()}
-
-    def dt_only(u):
+    def dt_only_impl(u, blocks):
         taus = [b.weight for b in blocks]  # fixed tau = weights
-        out = operator.apply_DT(blocks, taus, u, rpl)
-        return out
+        return operator.apply_DT(blocks, taus, u, rpl)
 
-    def vec_ops(u):
+    def vec_ops_impl(u, diag):
         z = {k: 1.0 / diag[k] * u[k] for k in u}
         a = operator.tree_dot(u, z)
         return operator.tree_axpy(a * 1e-20 + 0.01, z, u)
 
-    timed_scan(apply_mat, u0, K, "apply_A materialized")
-    timed_scan(apply_fused, u0, K, "apply_A fused coeffs")
-    timed_scan(apply_l0, u0, K, "apply_A level-0 blocks only")
-    timed_scan(apply_coarse, u0, K, "apply_A coarse blocks only")
-    timed_scan(d_only, u0, K, "D only (+reduce)")
-    timed_scan(dt_only, u0, K, "D^T only (tau=weights)")
-    timed_scan(vec_ops, u0, K, "CG vector ops (dot+axpy)")
+    timed_scan(apply_with, u0, K, "apply_A materialized", blocks, mass)
+    timed_scan(lambda u, m: apply_fused(u), u0, K, "apply_A fused coeffs", mass)
+    timed_scan(apply_with, u0, K, "apply_A level-0 blocks only", lvl0, mass)
+    timed_scan(apply_with, u0, K, "apply_A coarse blocks only", coarse, mass)
+    timed_scan(lambda u, b: dt_only_impl(u, b), u0, K, "D^T only (tau=weights)", blocks)
+    timed_scan(lambda u, d: vec_ops_impl(u, d), u0, K, "CG vector ops (dot+axpy)", diag)
 
 
 if __name__ == "__main__":
