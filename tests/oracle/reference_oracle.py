@@ -1172,3 +1172,121 @@ class OracleInterpolator:
                 return (1.0 - t_cell) * vals[0] + t_cell * vals[1]
             cell = parent(cell)
         raise AssertionError("no active cell found")
+
+
+# ---------------------------------------------------------------------------
+# DOF-layout invariants (debug unit tests, cpp:2896-3298)
+# ---------------------------------------------------------------------------
+
+def check_dof_invariants(labels, vel_idx, edge_idx, center_idx):
+    """The reference's three debug DOF tests; returns failure strings."""
+    fails = []
+    levels = len(labels)
+
+    # octreeVelocityUnitTest (cpp:2896-2999): indexed faces sit between
+    # ACTIVE/ACTIVE or ACTIVE/UP-with-ACTIVE-parent; sentinels only at level 0
+    for level in range(levels):
+        res = labels[level].shape
+        for axis in range(3):
+            grid = vel_idx[level][axis]
+            for face in zip(*np.nonzero(grid != UNASSIGNED)):
+                vi = grid[face]
+                if vi >= 0:
+                    back = face_to_cell(face, axis, 0)
+                    fwd = face_to_cell(face, axis, 1)
+                    bl, fl = labels[level][back], labels[level][fwd]
+                    if (bl, fl) == (ACTIVE, UP) or (bl, fl) == (UP, ACTIVE):
+                        upc = fwd if fl == UP else back
+                        if level == levels - 1 or \
+                                labels[level + 1][parent(upc)] != ACTIVE:
+                            fails.append(f"vel grading {level}/{axis}/{face}")
+                    elif (bl, fl) != (ACTIVE, ACTIVE):
+                        fails.append(f"vel labels {level}/{axis}/{face}")
+                elif vi in (OUTSIDE, SOLIDBOUNDARY) and level != 0:
+                    fails.append(f"vel sentinel at coarse {level}/{axis}/{face}")
+    if fails:
+        return fails
+
+    # edgeStressUnitTest (cpp:3001-3149): active edges see at most two levels
+    for level in range(levels):
+        res = labels[level].shape
+        for axis in range(3):
+            grid = edge_idx[level][axis]
+            for edge in zip(*np.nonzero(grid >= 0)):
+                for ci in range(4):
+                    cell = edge_to_cell(edge, axis, ci)
+                    if not in_bounds(cell, res):
+                        break
+                    if labels[level][cell] in (DOWN, INACTIVE):
+                        fails.append(f"edge cell label {level}/{axis}/{edge}")
+                for f in range(3):
+                    if f == axis:
+                        continue
+                    g = 3 - f - axis
+                    for d in (0, 1):
+                        face = edge_to_face(edge, axis, f, d)
+                        if face[g] < 0 or face[g] >= _face_shape(res, f)[g]:
+                            continue
+                        vi = vel_idx[level][f][face]
+                        if vi >= 0:
+                            continue
+                        if vi in (SOLIDBOUNDARY, OUTSIDE):
+                            if level != 0:
+                                fails.append(f"edge sentinel {level}/{axis}/{edge}")
+                        elif vi == UNASSIGNED:
+                            if edge[f] % 2 != 0:
+                                pc = parent(face)
+                                if level == levels - 1 or \
+                                        labels[level + 1][pc] != ACTIVE:
+                                    fails.append(
+                                        f"edge dangling {level}/{axis}/{edge}")
+                            else:
+                                pf = parent(face)
+                                if level == levels - 1 or \
+                                        vel_idx[level + 1][f][pf] == UNASSIGNED:
+                                    fails.append(
+                                        f"edge parent {level}/{axis}/{edge}")
+                        else:
+                            fails.append(f"edge face {level}/{axis}/{edge}")
+    if fails:
+        return fails
+
+    # centerStresUnitTest (cpp:3151-3298): active cells have fully-covered
+    # face/edge closures down to two child levels
+    for level in range(levels):
+        grid = center_idx[level]
+        for cell in zip(*np.nonzero(grid >= 0)):
+            if labels[level][cell] != ACTIVE:
+                fails.append(f"center not active {level}/{cell}")
+            for axis in range(3):
+                for d in (0, 1):
+                    face = cell_to_face(cell, axis, d)
+                    vi = vel_idx[level][axis][face]
+                    if vi == UNASSIGNED:
+                        if level == 0:
+                            fails.append(f"center unassigned@0 {cell}")
+                            continue
+                        for ci in range(4):
+                            cf = child_face(face, axis, ci)
+                            if vel_idx[level - 1][axis][cf] < 0:
+                                fails.append(f"center child face {level}/{cell}")
+                    elif vi in (OUTSIDE, SOLIDBOUNDARY):
+                        if level != 0:
+                            fails.append(f"center sentinel {level}/{cell}")
+                    elif vi < 0:
+                        fails.append(f"center face {level}/{cell}")
+            for axis in range(3):
+                for ei in range(4):
+                    edge = cell_to_edge(cell, axis, ei)
+                    si = edge_idx[level][axis][edge]
+                    if si == UNASSIGNED:
+                        for ci in range(2):
+                            ce = child_edge(edge, axis, ci)
+                            csi = edge_idx[level - 1][axis][ce]
+                            if csi < 0:
+                                for gi in range(2):
+                                    ge = child_edge(ce, axis, gi)
+                                    if edge_idx[level - 2][axis][ge] < 0:
+                                        fails.append(
+                                            f"center edge closure {level}/{cell}")
+    return fails

@@ -137,3 +137,23 @@ def test_assign_indices():
     flat0 = np.asarray(grids[0]).reshape(-1)
     assert list(flat0) == [0, -1, 1, -3, 2, -2, -1, 3]
     assert list(np.asarray(grids[1]).reshape(-1)) == [4, 5]
+
+
+def test_dof_layout_invariants(scene, weights):
+    """The reference's three debug DOF unit tests (cpp:2896-3298) hold for
+    our classification."""
+    cw, ew = weights
+    vel_idx, _ = oracle.index_pyramid(
+        oracle.classify_octree_velocity(
+            scene["labels"], cw, ew, scene["solid"], scene["extrapolation"])
+    )
+    edge_idx, _ = oracle.index_pyramid(
+        oracle.classify_edge_stress(scene["labels"], ew)
+    )
+    center_idx, _ = oracle.assign_indices(
+        oracle.classify_center_stress(scene["labels"], cw)
+    )
+    fails = oracle.check_dof_invariants(
+        scene["labels"], vel_idx, edge_idx, center_idx
+    )
+    assert not fails, fails[:5]
