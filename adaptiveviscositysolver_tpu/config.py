@@ -42,6 +42,13 @@ class SolverConfig:
     # Discretization toggle (cpp:109; default on).
     use_enhanced_gradients: bool = True
 
+    # The reference samples the *edge-axis* component of the solid velocity
+    # for solid-boundary faces in the shear-stress RHS (cpp:1901), although
+    # the replaced face carries the face-axis component.  False (default)
+    # uses the physically consistent face-axis component; True replicates
+    # the reference bit-for-bit.
+    compat_edge_boundary_component: bool = False
+
     # CG solve (cpp:62-66).
     tolerance: float = 1e-3
     max_iterations: int = 2500

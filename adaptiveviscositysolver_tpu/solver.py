@@ -101,6 +101,18 @@ def solve_viscosity(
     ("surfaceweights", cpp:144); computed internally when omitted.
     """
     _validate_state(state)
+    if config.dtype is not None:
+        # the solve-precision switch (USESINGLEPRECISION, HDK_Utilities.h:25-37)
+        state = dataclasses.replace(
+            state,
+            liquid_sdf=state.liquid_sdf.astype(config.dtype),
+            solid_sdf=state.solid_sdf.astype(config.dtype),
+            velocity=tuple(v.astype(config.dtype) for v in state.velocity),
+            solid_velocity=tuple(v.astype(config.dtype)
+                                 for v in state.solid_velocity),
+            viscosity=state.viscosity.astype(config.dtype),
+            density=state.density.astype(config.dtype),
+        )
     dx = state.dx
     extrapolation = config.extrapolation * dx
     liquid = state.liquid_sdf

@@ -128,6 +128,24 @@ def sample_cell_field_at(field: jnp.ndarray, level: int, kind: str, axis: int | 
     return out
 
 
+def _face_avg_component(solid_velocity, comp_axis, face_axis, eshape, off):
+    """Solid-velocity component ``comp_axis`` interpolated at the centers of
+    ``face_axis`` faces (world trilinear of the MAC field), gathered onto the
+    edge grid — only used by compat_edge_boundary_component."""
+    sv = solid_velocity[comp_axis]
+    # comp faces -> face_axis face centers: average along comp_axis pairs
+    # (moves samples to cell centers along comp), then along face_axis
+    # staggered offset.  For aligned MAC grids this is the 4-sample mean.
+    x = 0.5 * (sv[tuple(slice(0, -1) if d == comp_axis else slice(None)
+                        for d in range(3))]
+               + sv[tuple(slice(1, None) if d == comp_axis else slice(None)
+                          for d in range(3))])  # cell-centered comp velocity
+    from .fields import cell_to_face_avg
+
+    y = cell_to_face_avg(x, face_axis)  # face-axis face centers
+    return gather_offset(y, eshape, off)
+
+
 def _parity(shape, axis, even: bool):
     idx = jnp.arange(shape[axis]).reshape([shape[axis] if d == axis else 1 for d in range(3)])
     p = (idx % 2 == 0) if even else (idx % 2 == 1)
@@ -276,8 +294,15 @@ def build_edge_stress_blocks(
 
                     if level == 0:
                         sb = (k == SOLIDBOUNDARY) & active_edge
-                        sv = gather_offset(solid_velocity[f], eshape, off)
-                        contrib = jnp.where(sb, 0.5 * base * sv, 0.0)
+                        if config.compat_edge_boundary_component:
+                            # reference behavior (cpp:1901): edge-axis
+                            # component sampled at the face center
+                            svc = _face_avg_component(
+                                solid_velocity, a, f, eshape, off
+                            )
+                        else:
+                            svc = gather_offset(solid_velocity[f], eshape, off)
+                        contrib = jnp.where(sb, 0.5 * base * svc, 0.0)
                         boundary = contrib if boundary is None else boundary + contrib
 
             if with_weights:

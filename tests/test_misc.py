@@ -114,3 +114,29 @@ def test_flip_demo_loop_runs():
     assert all(np.isfinite(np.asarray(out.velocity[a])).all() for a in range(3))
     # the column is falling: vertical momentum stays negative
     assert float(np.asarray(out.velocity[1]).mean()) < 0.0
+
+
+def test_compat_edge_boundary_and_dtype():
+    """compat_edge_boundary_component only perturbs the solid-boundary RHS;
+    config.dtype casts the solve."""
+    import jax
+
+    from adaptiveviscositysolver_tpu.config import SolverConfig
+    from adaptiveviscositysolver_tpu.solver import solve_viscosity
+
+    state = scenes.buckling(n=16, dtype=jnp.float64)
+    base = SolverConfig(octree_levels=2, max_iterations=60, tolerance=1e-6)
+    compat = SolverConfig(octree_levels=2, max_iterations=60, tolerance=1e-6,
+                          compat_edge_boundary_component=True)
+    r1 = jax.jit(lambda s, t: solve_viscosity(s, t, base))(state, 0.01)
+    r2 = jax.jit(lambda s, t: solve_viscosity(s, t, compat))(state, 0.01)
+    # zero solid velocity in this scene -> identical results either way
+    for a in range(3):
+        np.testing.assert_allclose(np.asarray(r1.velocity[a]),
+                                   np.asarray(r2.velocity[a]), atol=1e-12)
+    f32cfg = SolverConfig(octree_levels=2, max_iterations=60, tolerance=1e-4,
+                          dtype=jnp.float32)
+    r3 = jax.jit(lambda s, t: solve_viscosity(s, t, f32cfg))(state, 0.01)
+    assert r3.velocity[0].dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(r3.velocity[0]),
+                               np.asarray(r1.velocity[0]), atol=5e-3)
