@@ -53,9 +53,11 @@ class SolverConfig:
     tolerance: float = 1e-3
     max_iterations: int = 2500
 
-    # Precision of the solve (HDK_Utilities.h:25-37).  fp32 is the TPU-native
-    # choice; fp64 works on CPU for oracle parity tests.
-    dtype: jnp.dtype = jnp.float32
+    # Precision of the solve (HDK_Utilities.h:25-37): None inherits the
+    # input fields' dtype (fp32 from the scene builders — the TPU-native
+    # choice; fp64 in the oracle parity tests); set explicitly to force a
+    # cast at solve entry.
+    dtype: jnp.dtype | None = None
 
     # Matvec implementation (identical numerics, different HBM behavior):
     #   "v1"       — reference implementation of the apply (per-term gathers)

@@ -22,8 +22,8 @@ comparisons here are flipped accordingly and cited).
 
 from __future__ import annotations
 
-import itertools
-from typing import Sequence, Tuple
+
+from typing import Sequence
 
 import jax.numpy as jnp
 

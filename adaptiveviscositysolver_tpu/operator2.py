@@ -35,7 +35,7 @@ Adjoint, output-centric (out = logical face grids):
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import jax.numpy as jnp
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -265,3 +265,32 @@ def make_solver(config: SolverConfig = SolverConfig()):
         return solve_viscosity(state, dt, config)
 
     return solve
+
+
+def octree_geometry_for_state(
+    state: FluidState,
+    config: SolverConfig = SolverConfig(),
+    path: Optional[str] = None,
+):
+    """The octree debug geometry for a state — the analog of the reference's
+    ``doPrintOctree``/``octreeGeometry`` outputs (cpp:78-82, 283-294).
+
+    Returns (positions, pscale, level) arrays; writes a binary PLY when
+    ``path`` is given (native exporter with Python fallback).
+    """
+    import numpy as np
+
+    dx = state.dx
+    extrapolation = config.extrapolation * dx
+    levels = capped_levels(state.liquid_sdf.shape, config.octree_levels)
+    mask = octree.build_refinement_mask(
+        state.liquid_sdf, state.solid_sdf, dx, extrapolation, 3.0 * dx,
+        dx * max(2.0, float(config.fine_bandwidth)),
+    )
+    labels = [np.asarray(l) for l in jax.jit(
+        lambda m: octree.build_octree(m, levels))(mask)]
+    if path is not None:
+        from . import native
+
+        native.export_octree_ply(labels, dx, path)
+    return octree.octree_geometry(labels, dx)

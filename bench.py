@@ -1,6 +1,6 @@
 """Benchmark: per-frame adaptive viscosity solve wall-clock on the live chip.
 
-Prints ONE JSON line for the viscousBuckling-analog workload (64^3, 4 octree
+Prints ONE JSON line for the viscousBuckling-analog workload (96^3, 4 octree
 levels, tolerance 1e-4 — BASELINE.md's headline config).
 
 ``value``        — full per-frame solve (octree build + classification +
@@ -34,7 +34,7 @@ def main():
     from adaptiveviscositysolver_tpu.config import SolverConfig, capped_levels
     from adaptiveviscositysolver_tpu.solver import solve_viscosity
 
-    n = int(os.environ.get("AVS_BENCH_N", "64"))
+    n = int(os.environ.get("AVS_BENCH_N", "96"))
     config = SolverConfig(octree_levels=4, tolerance=1e-4)
     state = scenes.buckling(n=n)
     dt = jnp.float32(1.0 / 24.0)
