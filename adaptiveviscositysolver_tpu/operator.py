@@ -265,25 +265,29 @@ def pcg_flat(apply_A, rhs: UField, x0: UField, diag: UField,
     threshold = tolerance * tolerance * b_norm2
 
     r0 = b - A(x)
-    z0 = invd * r0
-    rz0 = jnp.vdot(r0, z0)
+    rr0 = jnp.vdot(r0, r0)
+    rz0 = jnp.vdot(r0, invd * r0)
+    p0 = invd * r0
 
+    # z is never carried: the preconditioned residual is folded into the
+    # rz dot and the p update, and ||r||^2 is carried for the stopping test
+    # (one fewer full-vector pass per iteration each).
     def cond(state):
-        _, r, _, _, rz, it = state
-        return (jnp.vdot(r, r) > threshold) & (it < max_iterations)
+        _, _, _, _, rr, it = state
+        return (rr > threshold) & (it < max_iterations)
 
     def body(state):
-        x, r, z, p, rz, it = state
+        x, r, p, rz, rr, it = state
         ap = A(p)
         alpha = rz / jnp.vdot(p, ap)
         x = x + alpha * p
         r = r - alpha * ap
-        z = invd * r
-        rz_new = jnp.vdot(r, z)
-        p = z + (rz_new / rz) * p
-        return x, r, z, p, rz_new, it + 1
+        rr = jnp.vdot(r, r)
+        rz_new = jnp.vdot(r, invd * r)
+        p = invd * r + (rz_new / rz) * p
+        return x, r, p, rz_new, rr, it + 1
 
-    state = (x, r0, z0, z0, rz0, jnp.asarray(0, jnp.int32))
-    x, r, _, _, _, iters = jax.lax.while_loop(cond, body, state)
-    rel = jnp.sqrt(jnp.vdot(r, r) / jnp.maximum(b_norm2, 1e-300))
+    state = (x, r0, p0, rz0, rr0, jnp.asarray(0, jnp.int32))
+    x, r, _, _, rr, iters = jax.lax.while_loop(cond, body, state)
+    rel = jnp.sqrt(rr / jnp.maximum(b_norm2, 1e-300))
     return unpack(x), iters, rel
