@@ -374,6 +374,149 @@ def interpolate_level0_faces(
     return result
 
 
+def _read3(arr: jnp.ndarray, idx: jnp.ndarray, fill):
+    """``arr[idx]`` for an integer index triple; out-of-bounds reads ``fill``."""
+    shp = jnp.asarray(arr.shape, idx.dtype)
+    ok = jnp.all((idx >= 0) & (idx < shp))
+    c = jnp.clip(idx, 0, shp - 1)
+    return jnp.where(ok, arr[c[0], c[1], c[2]], fill)
+
+
+def _interp_one(labels, u, vel_kinds, node_vals, pos, axis):
+    """interpSPGrid (cpp:660-845) for ONE point, branch-free.
+
+    ``pos`` is a float triple in fine-cell index units (cell centers at
+    ``i + 0.5``).  The level descent is unrolled over the static level count;
+    both the trilinear fast path and the node/pyramid-bump path are evaluated
+    masked and selected, so the function jits and vmaps cleanly.
+    """
+    levels = len(labels)
+    dtype = u[(0, 0)].dtype
+    pos = pos.astype(dtype)
+    t_axes = [d for d in range(3) if d != axis]
+    e_axis = jnp.asarray([1 if d == axis else 0 for d in range(3)], jnp.int32)
+    cell0 = jnp.floor(pos).astype(jnp.int32)
+
+    def face_branch(fl, af):
+        """Node-bilinear + pyramid bump on face ``af`` at level ``fl``
+        (cpp:794-837)."""
+        hh = 1 << fl
+        ph = pos / hh
+        fw = [ph[t] - jnp.floor(ph[t]) for t in t_axes]
+        face_u = _read3(u[(fl, axis)], af, jnp.zeros((), dtype))
+        bil = jnp.zeros((), dtype)
+        avg = jnp.zeros((), dtype)
+        for b0 in (0, 1):
+            for b1 in (0, 1):
+                bb = {t_axes[0]: b0, t_axes[1]: b1}
+                nd = af + jnp.asarray(
+                    [bb.get(d, 0) for d in range(3)], jnp.int32
+                )
+                nv = _read3(node_vals[fl][axis], nd, jnp.zeros((), dtype))
+                w = (fw[0] if b0 else 1.0 - fw[0]) * (fw[1] if b1 else 1.0 - fw[1])
+                bil = bil + w * nv
+                avg = avg + nv
+        bump_w = jnp.minimum(
+            jnp.minimum(fw[0], 1.0 - fw[0]), jnp.minimum(fw[1], 1.0 - fw[1])
+        )
+        return bil + 2.0 * (face_u - 0.25 * avg) * bump_w
+
+    result = jnp.zeros((), dtype)
+    found = jnp.zeros((), bool)
+    for level in range(levels):
+        h = 1 << level
+        cell = cell0 >> level
+        lab = _read3(labels[level], cell, jnp.int8(octree.INACTIVE))
+        is_active = lab == octree.ACTIVE
+
+        # ---- fast path: trilinear over the 8 surrounding faces (cpp:683-728)
+        fpt = pos / h - jnp.asarray(
+            [0.0 if d == axis else 0.5 for d in range(3)], dtype
+        )
+        bf = jnp.floor(fpt).astype(jnp.int32)
+        fr = jnp.clip(fpt - bf, 0.0, 1.0)
+        fast_val = jnp.zeros((), dtype)
+        at_transition = jnp.zeros((), bool)
+        for fi in range(8):
+            b = jnp.asarray([(fi >> d) & 1 for d in range(3)], jnp.int32)
+            nb = bf + b
+            k = _read3(vel_kinds[level][axis], nb, jnp.int8(OUTSIDE))
+            at_transition |= k == UNASSIGNED
+            uv = _read3(u[(level, axis)], nb, jnp.zeros((), dtype))
+            w = jnp.prod(jnp.where(b == 1, fr, 1.0 - fr))
+            fast_val = fast_val + w * uv
+
+        # ---- node path (cpp:729-837)
+        t_cell = jnp.clip(pos[axis] / h - cell[axis], 0.0, 1.0)
+        dir_vals = []
+        for direction in (0, 1):
+            af = cell + direction * e_axis
+            k_dir = _read3(vel_kinds[level][axis], af, jnp.int8(OUTSIDE))
+            same_val = face_branch(level, af)
+            if level > 0:
+                # big face unassigned -> the child face whose transverse
+                # span contains the point (cpp:753-790)
+                child_pt = pos / (1 << (level - 1))
+                cf = 2 * af + jnp.asarray(
+                    [
+                        0 if d == axis
+                        else (child_pt[d] - 2 * af[d] > 1.0).astype(jnp.int32)
+                        for d in range(3)
+                    ],
+                    jnp.int32,
+                )
+                child_val = face_branch(level - 1, cf)
+                dir_vals.append(
+                    jnp.where(k_dir == UNASSIGNED, child_val, same_val)
+                )
+            else:
+                dir_vals.append(same_val)
+        node_val = (1.0 - t_cell) * dir_vals[0] + t_cell * dir_vals[1]
+
+        value = jnp.where(at_transition, node_val, fast_val)
+        result = jnp.where(found | ~is_active, result, value)
+        found = found | is_active
+    return result
+
+
+def interp_at(
+    labels: Sequence[jnp.ndarray],
+    u: Dict[Tuple[int, int], jnp.ndarray],
+    vel_kinds: Sequence[Sequence[jnp.ndarray]],
+    node_vals,
+    points: jnp.ndarray,
+    axis: int,
+) -> jnp.ndarray:
+    """T-junction-consistent velocity component at arbitrary positions.
+
+    The public point-query API of the reference interpolator,
+    ``interpSPGrid(pos, axis)``
+    (/root/reference/Source/HDK_OctreeVectorFieldInterpolator.cpp:660-845,
+    .h:140).  ``points`` is ``(N, 3)`` in fine-cell index units (divide world
+    coordinates by ``dx`` first); ``node_vals`` comes from
+    :func:`build_node_velocities`.  Points whose containing column has no
+    ACTIVE cell at any level return 0.
+    """
+    import jax
+
+    return jax.vmap(
+        lambda p: _interp_one(labels, u, vel_kinds, node_vals, p, axis)
+    )(points)
+
+
+def make_point_interpolator(labels, u, vel_kinds):
+    """Build the node pyramid once, return ``query(points, axis)``.
+
+    The factory analog of constructing HDK_OctreeVectorFieldInterpolator
+    (h:30-138) and then calling interpSPGrid per sample."""
+    node_vals, _ = build_node_velocities(labels, u, vel_kinds)
+
+    def query(points: jnp.ndarray, axis: int) -> jnp.ndarray:
+        return interp_at(labels, u, vel_kinds, node_vals, points, axis)
+
+    return query
+
+
 def interpolate_writeback_fields(labels, u, vel_kinds, levels):
     """Node pipeline + per-axis dense interpSPGrid — the values consumed by
     writeback at UNASSIGNED level-0 faces."""

@@ -11,9 +11,13 @@ from tests.oracle import reference_oracle as oracle
 from tests.test_operator import build_case
 
 
-@pytest.fixture(scope="module", params=["adaptive", "adaptive_nosolid"])
+@pytest.fixture(scope="module", params=["adaptive", "adaptive_nosolid", "uniform"])
 def icase(request):
-    kwargs = {} if request.param == "adaptive" else dict(with_solid=False)
+    kwargs = {
+        "adaptive": {},
+        "adaptive_nosolid": dict(with_solid=False),
+        "uniform": dict(uniform=True),
+    }[request.param]
     case = build_case(**kwargs)
     rng = np.random.default_rng(7)
     u = {}
@@ -49,9 +53,48 @@ def test_node_values_match_oracle(icase):
             )
 
 
+def test_interp_at_random_points_matches_oracle(icase):
+    """interp_at (the arbitrary-position interpSPGrid analog) must agree with
+    the oracle at random positions, across all topology fixtures."""
+    case, u, ju, oi, node_vals, node_labels = icase
+    levels = case["levels"]
+    labels = case["labels"]
+    n = case["n"]
+
+    # positions must lie in columns that own an ACTIVE cell at some level
+    covered = np.zeros(labels[0].shape, bool)
+    for l in range(levels):
+        act = labels[l] == oracle.ACTIVE
+        for d in range(3):
+            act = np.repeat(act, 1 << l, axis=d)
+        covered |= act[:n, :n, :n]
+    cells = np.argwhere(covered)
+    assert len(cells)
+
+    rng = np.random.default_rng(11)
+    N = 400
+    sel = cells[rng.integers(0, len(cells), N)]
+    # keep away from cell-boundary ties where floor() choices are arbitrary
+    pts = sel + rng.uniform(0.02, 0.98, size=(N, 3))
+
+    interp_fn = jax.jit(interpolator.interp_at, static_argnums=(5,))
+    for axis in range(3):
+        got = np.asarray(
+            interp_fn(case["jlabels"], ju, case["jvk"], node_vals,
+                      jnp.asarray(pts), axis)
+        )
+        for i in range(N):
+            want = oi.interp(pts[i], axis)
+            assert got[i] == pytest.approx(want, rel=1e-9, abs=1e-12), (
+                axis, i, pts[i],
+            )
+
+
 def test_interp_at_coarsened_faces_matches_oracle(icase):
     case, u, ju, oi, node_vals, node_labels = icase
     levels = case["levels"]
+    if levels == 1:
+        pytest.skip("uniform fixture has no coarsened faces")
     interp_fn = jax.jit(interpolator.interpolate_level0_faces, static_argnums=(4,))
     checked = 0
     for axis in range(3):
