@@ -69,6 +69,14 @@ class SolverConfig:
     # default.
     apply_impl: str = "v1-fused"
 
+    # Mixed-precision solve (the TPU-native reading of USESINGLEPRECISION,
+    # HDK_Utilities.h:25-37): run the CG inner loop in float32 and recover
+    # full input-precision accuracy with an iterative-refinement outer loop
+    # that re-forms the residual in the input dtype (BASELINE.md target:
+    # "the Eigen-CG residual trajectory is reproduced by fp32 Jacobi-CG with
+    # iterative refinement").  Meaningful when the inputs are float64.
+    use_iterative_refinement: bool = False
+
     @property
     def fused_apply(self) -> bool:
         return self.apply_impl.endswith("-fused")

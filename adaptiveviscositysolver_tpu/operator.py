@@ -247,31 +247,19 @@ def make_packer(shapes: Dict[Tuple[int, int], Tuple[int, int, int]]):
     return pack, unpack
 
 
-def pcg_flat(apply_A, rhs: UField, x0: UField, diag: UField,
-             tolerance: float, max_iterations: int):
-    """Same math as :func:`pcg`, with flat-vector state (single-kernel
-    dots/axpys).  ``apply_A`` still maps grid pytrees to grid pytrees."""
-    shapes = {k: tuple(v.shape) for k, v in rhs.items()}
-    pack, unpack = make_packer(shapes)
+def _flat_pcg(A, b, x0, invd, threshold, max_iterations):
+    """Flat-vector Jacobi-PCG core: iterate while ``||r||^2 > threshold``.
 
-    def A(flat):
-        return pack(apply_A(unpack(flat)))
-
-    b = pack(rhs)
-    x = pack(x0)
-    invd = 1.0 / pack(diag)
-
-    b_norm2 = jnp.vdot(b, b)
-    threshold = tolerance * tolerance * b_norm2
-
-    r0 = b - A(x)
+    z is never carried: the preconditioned residual is folded into the
+    rz dot and the p update, and ||r||^2 is carried for the stopping test
+    (one fewer full-vector pass per iteration each).
+    Returns (x, iterations, ||r||^2).
+    """
+    r0 = b - A(x0)
     rr0 = jnp.vdot(r0, r0)
     rz0 = jnp.vdot(r0, invd * r0)
     p0 = invd * r0
 
-    # z is never carried: the preconditioned residual is folded into the
-    # rz dot and the p update, and ||r||^2 is carried for the stopping test
-    # (one fewer full-vector pass per iteration each).
     def cond(state):
         _, _, _, _, rr, it = state
         return (rr > threshold) & (it < max_iterations)
@@ -287,7 +275,92 @@ def pcg_flat(apply_A, rhs: UField, x0: UField, diag: UField,
         p = invd * r + (rz_new / rz) * p
         return x, r, p, rz_new, rr, it + 1
 
-    state = (x, r0, p0, rz0, rr0, jnp.asarray(0, jnp.int32))
-    x, r, _, _, rr, iters = jax.lax.while_loop(cond, body, state)
+    state = (x0, r0, p0, rz0, rr0, jnp.asarray(0, jnp.int32))
+    x, _, _, _, rr, iters = jax.lax.while_loop(cond, body, state)
+    return x, iters, rr
+
+
+def pcg_flat(apply_A, rhs: UField, x0: UField, diag: UField,
+             tolerance: float, max_iterations: int):
+    """Same math as :func:`pcg`, with flat-vector state (single-kernel
+    dots/axpys).  ``apply_A`` still maps grid pytrees to grid pytrees."""
+    shapes = {k: tuple(v.shape) for k, v in rhs.items()}
+    pack, unpack = make_packer(shapes)
+
+    def A(flat):
+        return pack(apply_A(unpack(flat)))
+
+    b = pack(rhs)
+    invd = 1.0 / pack(diag)
+    b_norm2 = jnp.vdot(b, b)
+    threshold = tolerance * tolerance * b_norm2
+    x, iters, rr = _flat_pcg(A, b, pack(x0), invd, threshold, max_iterations)
     rel = jnp.sqrt(rr / jnp.maximum(b_norm2, 1e-300))
+    return unpack(x), iters, rel
+
+
+def pcg_refined(apply_A_hi, apply_A_lo, rhs: UField, x0: UField, diag: UField,
+                tolerance: float, max_iterations: int,
+                inner_tolerance: float = 1e-4, max_outer: int = 40):
+    """Mixed-precision solve: fp32 Jacobi-CG inner solves inside an
+    iterative-refinement outer loop whose residual is re-formed in the
+    rhs's (high) precision.
+
+    The reference's build-time precision switch offers an fp64 (default) or
+    fp32 solve (USESINGLEPRECISION, /root/reference/Source/HDK_Utilities.h:25-37).
+    On TPU the fast path is fp32; fp64 accuracy is recovered the classical
+    way: solve ``A d = r`` in fp32, accumulate ``x += d`` and re-form
+    ``r = b - A x`` in fp64, repeat.  The correction equation has the same
+    (Jacobi-scaled) conditioning as the original system, so each outer pass
+    gains ~``inner_tolerance`` in true residual until the fp64 limit.
+
+    ``apply_A_hi`` must act on ``rhs``-precision pytrees; ``apply_A_lo`` on
+    float32 pytrees of the same structure.  Returns
+    (x, total_inner_iterations, relative_residual) — the stopping rule is the
+    same ``||r||_2 <= tol * ||b||_2`` as :func:`pcg`, with ``r`` exact in
+    high precision.
+    """
+    shapes = {k: tuple(v.shape) for k, v in rhs.items()}
+    pack, unpack = make_packer(shapes)
+    lo = jnp.float32
+
+    def A_hi(flat):
+        return pack(apply_A_hi(unpack(flat)))
+
+    def A_lo(flat):
+        return pack(apply_A_lo(unpack(flat)))
+
+    b = pack(rhs)
+    x = pack(x0)
+    hi = b.dtype
+    invd_lo = (1.0 / pack(diag)).astype(lo)
+
+    b_norm2 = jnp.vdot(b, b)
+    threshold = tolerance * tolerance * b_norm2
+    itol2 = jnp.asarray(inner_tolerance, lo) ** 2
+
+    def outer_cond(state):
+        _, r, tot, outer = state
+        return (
+            (jnp.vdot(r, r) > threshold)
+            & (tot < max_iterations)
+            & (outer < max_outer)
+        )
+
+    def outer_body(state):
+        x, r, tot, outer = state
+        r_lo = r.astype(lo)
+        inner_threshold = itol2 * jnp.vdot(r_lo, r_lo)
+        d, it, _ = _flat_pcg(
+            A_lo, r_lo, jnp.zeros_like(r_lo), invd_lo,
+            inner_threshold, max_iterations - tot,
+        )
+        x = x + d.astype(hi)
+        r = b - A_hi(x)
+        return x, r, tot + it, outer + 1
+
+    r0 = b - A_hi(x)
+    state = (x, r0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+    x, r, iters, _ = jax.lax.while_loop(outer_cond, outer_body, state)
+    rel = jnp.sqrt(jnp.vdot(r, r) / jnp.maximum(b_norm2, 1e-300))
     return unpack(x), iters, rel

@@ -221,7 +221,28 @@ def solve_viscosity(
             )
 
     with jax.named_scope("solve"):
-        if v2:
+        if config.use_iterative_refinement:
+            if v2:
+                raise NotImplementedError(
+                    "use_iterative_refinement supports the v1 apply only"
+                )
+            f32 = jnp.float32
+
+            def _cast32(tree):
+                return jax.tree_util.tree_map(
+                    lambda a: a.astype(f32)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                    tree,
+                )
+
+            apply_A32, _ = operator.make_operator(
+                _cast32(blocks), _cast32(mass), active, res_per_level
+            )
+            solution, iters, rel = operator.pcg_refined(
+                apply_A, apply_A32, rhs, guess, diag,
+                config.tolerance, config.max_iterations,
+            )
+        elif v2:
             diag_pad = {
                 k: operator2.pad_halo(v, operator2.HU, fill=1.0)
                 for k, v in diag.items()

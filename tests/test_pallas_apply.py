@@ -1,0 +1,69 @@
+"""Pallas fused matvec == v1 whole-array matvec, on every topology fixture.
+
+The Pallas kernels (ops/pallas_apply.py) re-derive every stencil case
+(T1-T5, C1-C2, mass) in-register; this test pins them, element for element,
+to the oracle-verified v1 operator.  Runs in interpret mode on CPU.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adaptiveviscositysolver_tpu import classify, operator
+from adaptiveviscositysolver_tpu.ops import pallas_apply
+from tests.test_operator import build_case, lib_operator
+
+
+def _to_f32(tree):
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, tree)
+
+
+@pytest.mark.parametrize(
+    "kind", ["adaptive", "uniform", "nosolid", "noenh"]
+)
+def test_pallas_apply_matches_v1(kind):
+    case = build_case(
+        uniform=(kind == "uniform"),
+        with_solid=(kind != "nosolid"),
+        enhanced=(kind != "noenh"),
+    )
+    blocks, mass, active, _, _, rpl = lib_operator(case)
+    blocks = _to_f32(blocks)
+    mass = _to_f32(mass)
+    apply_v1, _ = operator.make_operator(blocks, mass, active, rpl)
+
+    levels = case["levels"]
+    frame, canons = pallas_apply.build_frame_data(
+        case["jlabels"], case["jvk"], case["jek"], case["jck"],
+        blocks, mass, rpl,
+    )
+    apply_pl, embed_tree, crop_tree = pallas_apply.make_pallas_operator(
+        frame, canons, active, rpl, case["dx"],
+        enhanced=(kind != "noenh"), interpret=True,
+    )
+
+    rng = np.random.default_rng(11)
+    u = {
+        k: jnp.where(
+            active[k],
+            jnp.asarray(rng.normal(size=mass[k].shape), jnp.float32),
+            0.0,
+        ).astype(jnp.float32)
+        for k in mass
+    }
+
+    want = jax.jit(apply_v1)(u)
+    got = crop_tree(jax.jit(apply_pl)(embed_tree(u)))
+
+    for k in sorted(mass):
+        w = np.asarray(want[k])
+        g = np.asarray(got[k])
+        scale = max(np.abs(w).max(), 1e-30)
+        np.testing.assert_allclose(
+            g, w, rtol=0, atol=3e-5 * scale,
+            err_msg=f"level/axis {k} ({kind})",
+        )
