@@ -60,14 +60,14 @@ class SolverConfig:
     dtype: jnp.dtype | None = None
 
     # Matvec implementation (identical numerics, different HBM behavior):
-    #   "v1"       — reference implementation of the apply (per-term gathers)
+    #   "auto"     — "pallas" on a TPU backend, "v1-fused" elsewhere
+    #   "pallas"   — fused per-level Pallas TPU kernels (ops/pallas_apply.py):
+    #                coefficients and taus live in VMEM registers only
+    #   "v1"       — whole-array XLA apply with materialized coefficients
     #   "v1-fused" — v1 with coefficients rebuilt inside the CG loop
     #   "v2"       — halo-padded slice-only apply (bandwidth-lean)
     #   "v2-fused" — v2 + in-loop coefficient rebuild
-    # v2 is designed for HBM-bandwidth-bound parts; on the current bench
-    # device its strided cross-level reads lower poorly, so v1-fused is the
-    # default.
-    apply_impl: str = "v1-fused"
+    apply_impl: str = "auto"
 
     # Mixed-precision solve (the TPU-native reading of USESINGLEPRECISION,
     # HDK_Utilities.h:25-37): run the CG inner loop in float32 and recover
@@ -86,6 +86,9 @@ class SolverConfig:
             raise ValueError("octree_levels must be >= 1")
         if self.num_supersamples < 1:
             raise ValueError("num_supersamples must be >= 1")
+        allowed = {"auto", "pallas", "v1", "v1-fused", "v2", "v2-fused"}
+        if self.apply_impl not in allowed:
+            raise ValueError(f"apply_impl must be one of {sorted(allowed)}")
 
 
 def capped_levels(shape: Tuple[int, int, int], desired_levels: int) -> int:

@@ -71,26 +71,46 @@ UField = Dict[Tuple[int, int], jnp.ndarray]
 # ---------------------------------------------------------------------------
 
 
+MAX_HALO = 4  # largest slab halo any kernel DMAs (the D^T kernel's kinds)
+
+
 @dataclasses.dataclass(frozen=True)
 class Canon:
     """Per-level canonical box: all grid kinds share one padded shape."""
 
     res: Tuple[int, int, int]   # cell resolution of the level
     TX: int                     # x tile size (even)
-    K: int                      # number of x tiles
+    K: int                      # number of interior x tiles
+    PX: int                     # pad tiles on EACH side of x
     shape: Tuple[int, int, int]  # canonical array shape
 
     @property
     def off(self) -> Tuple[int, int, int]:
-        return (self.TX, 4, 4)
+        return (self.PX * self.TX, 4, 4)
+
+    @property
+    def grid(self) -> int:
+        return self.K + 2 * self.PX
 
 
-def make_canon(res: Sequence[int]) -> Canon:
+def make_canon(res: Sequence[int], force_tx: int | None = None) -> Canon:
     nx, ny, nz = res
-    TX = 4 if nx >= 64 else 8
+    # TX sets the x-tile; the unrolled kernels' VMEM temporaries scale with
+    # it, and 16 MB VMEM caps big levels at TX=2 (y/z stay whole).
+    # ``force_tx`` lets tests exercise the small-TX (PX>1) layout on small
+    # grids, where TX < MAX_HALO puts DMA starts in the second pad tile.
+    TX = force_tx or (2 if nx >= 64 else (4 if nx >= 32 else 8))
     K = -(-(nx + 1) // TX)
-    shape = (TX + K * TX + 4, ny + 1 + 8, nz + 1 + 8)
-    return Canon(tuple(res), TX, K, shape)
+    # x pads must cover the largest slab halo: the DMA for interior tile i
+    # spans [i*TX - h, i*TX + TX + h) and must stay inside the buffer.
+    PX = -(-MAX_HALO // TX)
+    # y/z are rounded up to the f32 tile (8, 128): the physical layout pads
+    # minor dims to tiles anyway, and Mosaic only DMAs slices whose minor
+    # dims match the memref — aligning the logical shape costs nothing real.
+    cy = -(-(ny + 1 + 8) // 8) * 8
+    cz = -(-(nz + 1 + 8) // 128) * 128
+    shape = ((K + 2 * PX) * TX, cy, cz)
+    return Canon(tuple(res), TX, K, PX, shape)
 
 
 def embed(arr: jnp.ndarray, canon: Canon, fill=0) -> jnp.ndarray:
@@ -139,13 +159,15 @@ def _rd(slab: jnp.ndarray, base: int, rows: int, off, fill):
     return v
 
 
-def _parity_even(shape, axis, base: int):
-    """Mask of slab positions whose canonical (== logical) index is even.
+def _parity_even_f(shape, axis, base: int):
+    """1.0 where the canonical (== logical) index along ``axis`` is even,
+    else 0.0.  Float (not i1): Mosaic's 3D bool-vector relayouts are
+    unsupported, so all masks in these kernels are float arithmetic.
 
     ``base``: canonical-parity offset of local index 0 along ``axis``
-    (even everywhere by construction, asserted at build time)."""
+    (even everywhere by construction)."""
     ids = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
-    return ((ids + base) & 1) == 0
+    return (1 - ((ids + base) & 1)).astype(jnp.float32)
 
 
 def _blocksum_t(v: jnp.ndarray, t_axes, parity_bases):
@@ -153,9 +175,10 @@ def _blocksum_t(v: jnp.ndarray, t_axes, parity_bases):
     transverse_blocksum): per t-axis, add the parity partner."""
     out = v
     for ax in t_axes:
-        even = _parity_even(out.shape, ax, parity_bases[ax])
-        out = out + jnp.where(
-            even, _sh_yz_or_x(out, ax, 1), _sh_yz_or_x(out, ax, -1)
+        even = _parity_even_f(out.shape, ax, parity_bases[ax])
+        out = out + (
+            even * _sh_yz_or_x(out, ax, 1)
+            + (1.0 - even) * _sh_yz_or_x(out, ax, -1)
         )
     return out
 
@@ -195,24 +218,142 @@ KIND_DT = jnp.int8
 F32 = jnp.float32
 
 
-def _level_input_names(level: int, levels: int) -> List[Tuple[str, object]]:
-    names: List[Tuple[str, object]] = []
-    names += [(f"u{f}", F32) for f in range(3)]
+def _eqf(x, c):
+    """0/1 float equality with an integer constant (exact for int-valued
+    floats).  All masks are float: Mosaic cannot relayout 3D i1 vectors."""
+    return jnp.maximum(0.0, 1.0 - jnp.abs(x - float(c)))
+
+
+def _edge_terms(a, dxw, enhanced, has_parent, kind, val, pbase,
+                with_values: bool, valw=None):
+    """Yield every edge-stress term (coeff, value|None, off, dest) for edge
+    axis ``a`` — the per-slot case analysis of getEdgeStressFaces
+    (/root/reference/Source/HDK_AdaptiveViscosity.cpp:1717-1908), identical
+    to stencils.build_edge_stress_blocks.
+
+    ``kind``/``val`` are slab accessors bound to the caller's row range;
+    each yielded coefficient is consumed immediately, keeping VMEM liveness
+    to a couple of arrays.
+    """
+    active_edge = _eqf(kind(f"ek{a}"), FLUID)
+    f_axes = [f for f in range(3) if f != a]
+    for f in f_axes:
+        g = 3 - a - f
+        k0 = kind(f"vk{f}", _unit(g, -1))
+        k1 = kind(f"vk{f}")
+        una0, una1 = _eqf(k0, UNASSIGNED), _eqf(k1, UNASSIGNED)
+        binv = 1.0 / (dxw * (1.0 + 0.5 * (una0 + una1)))
+        if enhanced:
+            is_trans = una0 + una1 - una0 * una1
+            not_out = (
+                (1.0 - _eqf(k0, OUTSIDE) - _eqf(k0, SOLIDBOUNDARY))
+                * (1.0 - _eqf(k1, OUTSIDE) - _eqf(k1, SOLIDBOUNDARY))
+            )
+            enh = is_trans * not_out
+        for d in (0, 1):
+            off = _unit(g, -1) if d == 0 else (0, 0, 0)
+            sign = -1.0 if d == 0 else 1.0
+            k = k0 if d == 0 else k1
+            act = _eqf(k, FLUID) * active_edge
+            base = sign * binv
+
+            # T1: the face itself
+            if enhanced:
+                c1 = act * (0.5 - 0.25 * enh) * base
+            else:
+                c1 = act * 0.5 * base
+            yield (c1, val(f"u{f}", off) if with_values else None,
+                   off, ("same", f))
+
+            # T2: enhanced sibling at a parity offset along the edge axis
+            if enhanced:
+                par_even = _parity_even_f(k.shape, a, pbase[a])
+                for even, so in ((True, 1), (False, -1)):
+                    par = par_even if even else 1.0 - par_even
+                    c2 = act * enh * par * 0.25 * base
+                    o2 = _add(off, _unit(a, so))
+                    yield (c2, val(f"u{f}", o2) if with_values else None,
+                           o2, ("same", f))
+
+            una = _eqf(k, UNASSIGNED) * active_edge
+            if has_parent:
+                dang = 1.0 - _parity_even_f(k.shape, f, pbase[f])
+                # T3: non-dangling transition → parent face
+                c3 = una * (1.0 - dang) * 0.5 * base
+                yield (c3, val(f"up{f}", off) if with_values else None,
+                       off, ("parent", f))
+                # T4/T5: dangling edge → two parent faces or 4 inset kids
+                for so in (-1, 1):
+                    offo = _add(off, _unit(f, so))
+                    kp = kind(f"pk{f}", offo)
+                    c4 = una * dang * _eqf(kp, FLUID) * 0.25 * base
+                    yield (c4, val(f"up{f}", offo) if with_values else None,
+                           offo, ("parent", f))
+                    c5 = una * dang * _eqf(kp, UNASSIGNED) * 0.0625 * base
+                    if with_values:
+                        t_axes = [t for t in range(3) if t != f]
+                        # forward reads B(u)[i + offo]: the 2x2 block aligns
+                        # at i + offo → parity base shifts by offo.  The
+                        # blocksum runs on an x-EXPANDED window (one extra
+                        # row each side): when pb[0] is odd the partner of
+                        # the window's first/last row lies outside the out
+                        # rows, and a TX-row window would zero-fill it.
+                        pb = {ax: pbase[ax] + offo[ax] for ax in range(3)}
+                        pbw = dict(pb)
+                        pbw[0] -= 1
+                        wide = valw(f"u{f}", offo)
+                        bsw = _blocksum_t(wide, t_axes, pbw)
+                        bs = bsw[1:wide.shape[0] - 1]
+                    else:
+                        bs = None
+                    yield (c5, bs, offo, ("blocksum", f))
+
+
+def _center_terms(axis, dxw, has_child, kind, val, act_c, with_values: bool):
+    """Center-stress terms (getCenterStressFaces, cpp:1910-1963)."""
+    for d in (0, 1):
+        off = (0, 0, 0) if d == 0 else _unit(axis, 1)
+        sign = -1.0 if d == 0 else 1.0
+        k = kind(f"vk{axis}", off)
+        c1 = _eqf(k, FLUID) * act_c * (sign / dxw)
+        yield (c1, val(f"u{axis}", off) if with_values else None, off, "same")
+        if has_child:
+            c2 = _eqf(k, UNASSIGNED) * act_c * (0.25 * sign / dxw)
+            yield (c2, val(f"cs{axis}", off) if with_values else None,
+                   off, "child")
+
+
+def _tau_input_names(level: int, levels: int):
+    """(name, dtype, slab_halo): taus are computed on exactly the out rows,
+    so stencil-read inputs need halo 2 and weight inputs none."""
+    names = [(f"u{f}", F32, 2) for f in range(3)]
     if level + 1 < levels:
-        names += [(f"up{f}", F32) for f in range(3)]
-        names += [(f"pk{f}", KIND_DT) for f in range(3)]
+        names += [(f"up{f}", F32, 2) for f in range(3)]
+        names += [(f"pk{f}", KIND_DT, 2) for f in range(3)]
     if level > 0:
-        names += [(f"cs{f}", F32) for f in range(3)]
-    names += [(f"vk{f}", KIND_DT) for f in range(3)]
-    names += [(f"ek{a}", KIND_DT) for a in range(3)]
-    names += [("ck", KIND_DT)]
-    names += [(f"we{a}", F32) for a in range(3)]
-    names += [("wc", F32)]
-    names += [(f"m{f}", F32) for f in range(3)]
+        names += [(f"cs{f}", F32, 2) for f in range(3)]
+    names += [(f"vk{f}", KIND_DT, 2) for f in range(3)]
+    names += [(f"ek{a}", KIND_DT, 2) for a in range(3)]
+    names += [("ck", KIND_DT, 2)]
+    names += [(f"we{a}", F32, 0) for a in range(3)]
+    names += [("wc", F32, 0)]
     return names
 
 
-def _level_output_names(level: int, levels: int) -> List[str]:
+def _dt_input_names(level: int, levels: int):
+    """(name, dtype, slab_halo): products live on out rows +-2, wtaus are
+    read unshifted (halo 2) while kind grids are read at +-1 (halo 4)."""
+    names = [(f"wte{a}", F32, 2) for a in range(3)]
+    names += [(f"wtc{x}", F32, 2) for x in range(3)]
+    names += [(f"vk{f}", KIND_DT, 4) for f in range(3)]
+    if level + 1 < levels:
+        names += [(f"pk{f}", KIND_DT, 4) for f in range(3)]
+    names += [(f"ek{a}", KIND_DT, 4) for a in range(3)]
+    names += [("ck", KIND_DT, 4)]
+    return names
+
+
+def _dt_output_names(level: int, levels: int) -> List[str]:
     names = [f"out{f}" for f in range(3)]
     if level + 1 < levels:
         names += [f"zp{f}" for f in range(3)]
@@ -221,25 +362,122 @@ def _level_output_names(level: int, levels: int) -> List[str]:
     return names
 
 
-def _make_level_kernel(level: int, levels: int, canon: Canon, dx: float,
-                       enhanced: bool):
-    """Build the fused A-apply kernel for one level.
+def _make_tau_kernel(level: int, levels: int, canon: Canon, dx: float,
+                     enhanced: bool):
+    """Kernel 1: weighted stress taus for one level.
 
-    Slab layout: rows [0, TX+8) cover canonical x ∈ [TX + i·TX − 4, …+TX+8).
-    Output rows are local [4, TX+4); taus and products live on the extended
-    range [2, TX+6) so the ±1 adjoint shifts and the 2-wide blocksum reads
-    stay in-slab.  Local row parity == canonical parity (everything even).
+    Slab halo 2 (rows TX+4, canonical x slab start = TX + i*TX - 2, even so
+    local parity == canonical parity).  Taus are computed exactly on the
+    output rows (local [2, TX+2)); all reads (offsets +-1, blocksum +-2)
+    stay in-slab.  Outputs: 3 edge wtaus + 3 center wtaus.
     """
     TX = canon.TX
     CX, CY, CZ = canon.shape
-    R = TX + 4          # tau/product row count, base row 2
-    BT, BO = 2, 4       # tau base row, out base row
+    H = 2
+    R, BT = TX, H
     dxw = dx * (1 << level)
-    in_names = _level_input_names(level, levels)
-    out_names = _level_output_names(level, levels)
+    in_names = _tau_input_names(level, levels)
+    out_names = [f"wte{a}" for a in range(3)] + [f"wtc{x}" for x in range(3)]
     NIN, NOUT = len(in_names), len(out_names)
     has_parent = level + 1 < levels
     has_child = level > 0
+    pbase = {0: 0, 1: 0, 2: 0}
+
+    def kernel(*refs):
+        ins = refs[:NIN]
+        outs = refs[NIN:NIN + NOUT]
+        scratch = refs[NIN + NOUT:NIN + NOUT + NIN]
+        sems = refs[NIN + NOUT + NIN]
+
+        # programs 0 and K+1 own the halo blocks: zero them so every row of
+        # the output buffers is defined (downstream slabs read the halo)
+        i = pl.program_id(0)
+        interior = jnp.logical_and(i >= canon.PX, i < canon.PX + canon.K)
+
+        @pl.when(jnp.logical_not(interior))
+        def _():
+            for j in range(NOUT):
+                outs[j][:] = jnp.zeros((TX, CY, CZ), F32)
+
+        @pl.when(interior)
+        def _():
+            copies = [
+                pltpu.make_async_copy(
+                    ins[j].at[pl.ds(i * TX - h, TX + 2 * h)], scratch[j],
+                    sems.at[j]
+                )
+                for j, (_, _, h) in enumerate(in_names)
+            ]
+            for c in copies:
+                c.start()
+            for c in copies:
+                c.wait()
+
+            v = {}
+            halo = {}
+            for j, (name, dt, h) in enumerate(in_names):
+                v[name] = scratch[j][:]
+                halo[name] = h
+
+            # int8 kind slabs convert lazily per read so the f32 copies die
+            # immediately (bulk conversion keeps ~5 MB live for the whole
+            # kernel).  Read base: slab row h covers the first out row.
+            def kind(name, off=(0, 0, 0)):
+                raw = _rd(v[name], halo[name], R, off, OUTSIDE)
+                return raw.astype(F32)
+
+            def val(name, off=(0, 0, 0)):
+                return _rd(v[name], halo[name], R, off, 0.0)
+
+            def valw(name, off=(0, 0, 0)):
+                # x-expanded read for the T5 blocksum: one extra row each
+                # side so odd-aligned block partners stay in-window
+                return _rd(v[name], halo[name] - 1, R + 2, off, 0.0)
+
+            for a in range(3):
+                tau = None
+                for c, uv, off, dest in _edge_terms(
+                    a, dxw, enhanced, has_parent, kind, val, pbase, True,
+                    valw=valw,
+                ):
+                    contrib = c * uv
+                    tau = contrib if tau is None else tau + contrib
+                outs[a][:] = val(f"we{a}") * tau
+
+            act_c = _eqf(kind("ck"), FLUID)
+            wcv = val("wc")
+            for axis in range(3):
+                tau = None
+                for c, uv, off, dest in _center_terms(
+                    axis, dxw, has_child, kind, val, act_c, True
+                ):
+                    contrib = c * uv
+                    tau = contrib if tau is None else tau + contrib
+                outs[3 + axis][:] = wcv * tau
+
+    return kernel, in_names, out_names
+
+
+def _make_dt_kernel(level: int, levels: int, canon: Canon, dx: float,
+                    enhanced: bool):
+    """Kernel 2: distribute c * wtau back onto the faces (D^T).
+
+    Slab halo 4: coefficient/product rows live on local [2, TX+6) so the
+    +-1 adjoint shifts and the 2-wide blocksum reads stay in-slab; output
+    rows are local [4, TX+4).  The mass term and all cross-level expansion
+    happen outside in XLA.
+    """
+    TX = canon.TX
+    CX, CY, CZ = canon.shape
+    H = 4
+    R, BT, BO = TX + 4, 2, 4
+    dxw = dx * (1 << level)
+    in_names = _dt_input_names(level, levels)
+    out_names = _dt_output_names(level, levels)
+    NIN, NOUT = len(in_names), len(out_names)
+    has_parent = level + 1 < levels
+    has_child = level > 0
+    pbase = {0: 0, 1: 0, 2: 0}
 
     def kernel(*refs):
         ins = refs[:NIN]
@@ -248,229 +486,111 @@ def _make_level_kernel(level: int, levels: int, canon: Canon, dx: float,
         sems = refs[NIN + NOUT + NIN]
 
         i = pl.program_id(0)
-        start = i * TX + TX - 4
-        copies = [
-            pltpu.make_async_copy(
-                ins[j].at[pl.ds(start, TX + 8)], scratch[j], sems.at[j]
-            )
-            for j in range(NIN)
-        ]
-        for c in copies:
-            c.start()
-        for c in copies:
-            c.wait()
+        interior = jnp.logical_and(i >= canon.PX, i < canon.PX + canon.K)
 
-        v = {}
-        for j, (name, dt) in enumerate(in_names):
-            v[name] = scratch[j][:]
+        @pl.when(jnp.logical_not(interior))
+        def _():
+            for j in range(NOUT):
+                outs[j][:] = jnp.zeros((TX, CY, CZ), F32)
 
-        def kind(name, off=(0, 0, 0)):
-            return _rd(v[name], BT, R, off, jnp.asarray(OUTSIDE, KIND_DT))
+        @pl.when(interior)
+        def _():
+            copies = [
+                pltpu.make_async_copy(
+                    ins[j].at[pl.ds(i * TX - h, TX + 2 * h)], scratch[j],
+                    sems.at[j]
+                )
+                for j, (_, _, h) in enumerate(in_names)
+            ]
+            for c in copies:
+                c.start()
+            for c in copies:
+                c.wait()
 
-        def val(name, off=(0, 0, 0)):
-            return _rd(v[name], BT, R, off, 0.0)
+            v = {}
+            halo = {}
+            for j, (name, dt, h) in enumerate(in_names):
+                v[name] = scratch[j][:]
+                halo[name] = h
 
-        # parity base of local index 0 on the tau range, per axis (all even:
-        # x rows at local BT=2 ↔ canonical TX+i·TX−4+2, y/z at canonical 0)
-        pbase = {0: 0, 1: 0, 2: 0}
+            # product rows span out rows +-2: base = slab_halo - 2
+            def kind(name, off=(0, 0, 0)):
+                raw = _rd(v[name], halo[name] - 2, R, off, OUTSIDE)
+                return raw.astype(F32)
 
-        def emit(prod, off):
-            """(TX, CY, CZ) out-rows view of prod shifted by −off."""
-            xs = (BO - BT) - off[0]
-            w = prod[xs:xs + TX]
-            w = _sh_yz(w, 1, -off[1], 0.0)
-            w = _sh_yz(w, 2, -off[2], 0.0)
-            return w
+            def val(name, off=(0, 0, 0)):
+                return _rd(v[name], halo[name] - 2, R, off, 0.0)
 
-        def emit_blocksum(prod, off, t_axes):
-            """out[v] += sum_{w in block(v)} prod[w − off] on out rows."""
-            z = _sh_yz_or_x(prod, 0, -off[0])
-            z = _sh_yz(z, 1, -off[1], 0.0)
-            z = _sh_yz(z, 2, -off[2], 0.0)
-            b = _blocksum_t(z, t_axes, pbase)
-            return b[BO - BT:BO - BT + TX]
+            def emit(prod, off):
+                # (TX, CY, CZ) out-rows view of prod shifted by -off
+                xs = (BO - BT) - off[0]
+                w = prod[xs:xs + TX]
+                w = _sh_yz(w, 1, -off[1], 0.0)
+                w = _sh_yz(w, 2, -off[2], 0.0)
+                return w
 
-        acc = {n: None for n in out_names}
+            def emit_blocksum(prod, off, t_axes):
+                # out[v] += sum_{w in block(v)} prod[w - off] on out rows
+                z = _sh_yz_or_x(prod, 0, -off[0])
+                z = _sh_yz(z, 1, -off[1], 0.0)
+                z = _sh_yz(z, 2, -off[2], 0.0)
+                b = _blocksum_t(z, t_axes, pbase)
+                return b[BO - BT:BO - BT + TX]
 
-        def add(name, contrib):
-            acc[name] = contrib if acc[name] is None else acc[name] + contrib
+            acc = {n: None for n in out_names}
 
-        zero_i8 = jnp.asarray(0, KIND_DT)
-        UNA = jnp.asarray(UNASSIGNED, KIND_DT)
-        FLU = jnp.asarray(FLUID, KIND_DT)
-        SB = jnp.asarray(SOLIDBOUNDARY, KIND_DT)
-        OUT = jnp.asarray(OUTSIDE, KIND_DT)
-
-        # ---------------- edge (shear) stresses, per edge axis ----------
-        for a in range(3):
-            active_edge = kind(f"ek{a}") == FLU
-            f_axes = [f for f in range(3) if f != a]
-
-            slotk = {}
-            gdx_inv = {}
-            is_trans = {}
-            is_out = {}
-            for f in f_axes:
-                g = 3 - a - f
-                for d in (0, 1):
-                    off = _unit(g, -1) if d == 0 else (0, 0, 0)
-                    slotk[(f, d)] = kind(f"vk{f}", off)
-                k0, k1 = slotk[(f, 0)], slotk[(f, 1)]
-                u_cnt = (k0 == UNA).astype(F32) + (k1 == UNA).astype(F32)
-                gdx_inv[g] = 1.0 / (dxw * (1.0 + 0.5 * u_cnt))
-                if enhanced:
-                    is_trans[g] = (k0 == UNA) | (k1 == UNA)
-                else:
-                    is_trans[g] = None
-                is_out[g] = (
-                    (k0 == OUT) | (k0 == SB) | (k1 == OUT) | (k1 == SB)
+            def add(name, contrib):
+                acc[name] = (
+                    contrib if acc[name] is None else acc[name] + contrib
                 )
 
-            terms = []  # (coeff, value, off, dest)
-            for f in f_axes:
-                g = 3 - a - f
-                binv = gdx_inv[g]
-                if enhanced:
-                    enh = is_trans[g] & ~is_out[g]
-                else:
-                    enh = None
-                for d in (0, 1):
-                    off = _unit(g, -1) if d == 0 else (0, 0, 0)
-                    sign = -1.0 if d == 0 else 1.0
-                    k = slotk[(f, d)]
-                    act = (k == FLU) & active_edge
-                    base = sign * binv
-
-                    # T1
-                    if enhanced:
-                        c1 = jnp.where(
-                            act, jnp.where(enh, 0.25, 0.5) * base, 0.0
-                        )
+            for a in range(3):
+                wtau = val(f"wte{a}")
+                for c, uv, off, dest in _edge_terms(
+                    a, dxw, enhanced, has_parent, kind, val, pbase, False
+                ):
+                    mode, f = dest
+                    prod = c * wtau
+                    if mode == "same":
+                        add(f"out{f}", emit(prod, off))
+                    elif mode == "parent":
+                        add(f"zp{f}", emit(prod, off))
                     else:
-                        c1 = jnp.where(act, 0.5 * base, 0.0)
-                    terms.append((c1, val(f"u{f}", off), off, ("same", f)))
+                        t_axes = [t for t in range(3) if t != f]
+                        add(f"out{f}", emit_blocksum(prod, off, t_axes))
 
-                    # T2: enhanced sibling, parity offset along the edge axis
-                    if enhanced:
-                        for even, so in ((True, 1), (False, -1)):
-                            par = _parity_even(k.shape, a, pbase[a])
-                            if not even:
-                                par = ~par
-                            c2 = jnp.where(act & enh & par, 0.25 * base, 0.0)
-                            o2 = _add(off, _unit(a, so))
-                            terms.append(
-                                (c2, val(f"u{f}", o2), o2, ("same", f))
-                            )
+            act_c = _eqf(kind("ck"), FLUID)
+            for axis in range(3):
+                wtau = val(f"wtc{axis}")
+                for c, uv, off, dest in _center_terms(
+                    axis, dxw, has_child, kind, val, act_c, False
+                ):
+                    prod = c * wtau
+                    if dest == "same":
+                        add(f"out{axis}", emit(prod, off))
+                    else:
+                        add(f"zc{axis}", emit(prod, off))
 
-                    una = (k == UNA) & active_edge
-                    if has_parent:
-                        dang = ~_parity_even(k.shape, f, pbase[f])
-                        # T3: non-dangling → parent face
-                        c3 = jnp.where(una & ~dang, 0.5 * base, 0.0)
-                        terms.append(
-                            (c3, val(f"up{f}", off), off, ("parent", f))
-                        )
-                        # T4/T5: dangling → two parent faces or 4 inset kids
-                        for so in (-1, 1):
-                            offo = _add(off, _unit(f, so))
-                            kp = kind(f"pk{f}", offo)
-                            c4 = jnp.where(
-                                una & dang & (kp == FLU), 0.25 * base, 0.0
-                            )
-                            terms.append(
-                                (c4, val(f"up{f}", offo), offo, ("parent", f))
-                            )
-                            c5 = jnp.where(
-                                una & dang & (kp == UNA), 0.0625 * base, 0.0
-                            )
-                            t_axes = [t for t in range(3) if t != f]
-                            # forward reads B(u)[i + offo]: the 2x2 block is
-                            # aligned at i + offo, so the parity base shifts
-                            # by offo along each transverse axis
-                            pb_shift = {
-                                ax: pbase[ax] + offo[ax] for ax in range(3)
-                            }
-                            bs = _blocksum_t(
-                                val(f"u{f}", offo), t_axes, pb_shift
-                            )
-                            terms.append((c5, bs, offo, ("blocksum", f)))
-
-            tau = None
-            for c, uv, off, dest in terms:
-                contrib = c * uv
-                tau = contrib if tau is None else tau + contrib
-            wtau = val(f"we{a}") * tau
-
-            for c, uv, off, dest in terms:
-                mode, f = dest
-                prod = c * wtau
-                if mode == "same":
-                    add(f"out{f}", emit(prod, off))
-                elif mode == "parent":
-                    add(f"zp{f}", emit(prod, off))
-                else:  # blocksum
-                    t_axes = [t for t in range(3) if t != f]
-                    add(f"out{f}", emit_blocksum(prod, off, t_axes))
-
-        # ---------------- center (normal) stresses ----------------------
-        act_c = kind("ck") == FLU
-        wcv = val("wc")
-        for axis in range(3):
-            cterms = []
-            for d in (0, 1):
-                off = (0, 0, 0) if d == 0 else _unit(axis, 1)
-                sign = -1.0 if d == 0 else 1.0
-                k = kind(f"vk{axis}", off)
-                c1 = jnp.where((k == FLU) & act_c, sign / dxw, 0.0)
-                cterms.append((c1, val(f"u{axis}", off), off, "same"))
-                if has_child:
-                    c2 = jnp.where(
-                        (k == UNA) & act_c, 0.25 * sign / dxw, 0.0
-                    )
-                    cterms.append((c2, val(f"cs{axis}", off), off, "child"))
-            tau = None
-            for c, uv, off, dest in cterms:
-                contrib = c * uv
-                tau = contrib if tau is None else tau + contrib
-            wtau = wcv * tau
-            for c, uv, off, dest in cterms:
-                prod = c * wtau
-                if dest == "same":
-                    add(f"out{axis}", emit(prod, off))
-                else:
-                    add(f"zc{axis}", emit(prod, off))
-
-        # ---------------- mass term + stores -----------------------------
-        for f in range(3):
-            mv = _rd(v[f"m{f}"], BO, TX, (0, 0, 0), 0.0)
-            uv = _rd(v[f"u{f}"], BO, TX, (0, 0, 0), 0.0)
-            add(f"out{f}", mv * uv)
-
-        for j, name in enumerate(out_names):
-            val_out = acc[name]
-            if val_out is None:
-                val_out = jnp.zeros((TX, CY, CZ), F32)
-            outs[j][:] = val_out
+            for j, name in enumerate(out_names):
+                val_out = acc[name]
+                if val_out is None:
+                    val_out = jnp.zeros((TX, CY, CZ), F32)
+                outs[j][:] = val_out
 
     return kernel, in_names, out_names
 
 
-@functools.lru_cache(maxsize=None)
-def _compiled_level_call(level: int, levels: int, canon: Canon, dx: float,
-                         enhanced: bool, interpret: bool):
-    kernel, in_names, out_names = _make_level_kernel(
-        level, levels, canon, dx, enhanced
-    )
+def _pallas_level_call(kernel, in_names, out_names, canon: Canon,
+                       interpret: bool):
     TX = canon.TX
     CX, CY, CZ = canon.shape
     NIN = len(in_names)
-
-    call = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
-        grid=(canon.K,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * NIN,
+        grid=(canon.grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * NIN,
         out_specs=[
-            pl.BlockSpec((TX, CY, CZ), lambda i: (i + 1, 0, 0),
+            pl.BlockSpec((TX, CY, CZ), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
             for _ in out_names
         ],
@@ -478,11 +598,20 @@ def _compiled_level_call(level: int, levels: int, canon: Canon, dx: float,
             jax.ShapeDtypeStruct((CX, CY, CZ), F32) for _ in out_names
         ],
         scratch_shapes=[
-            pltpu.VMEM((TX + 8, CY, CZ), dt) for _, dt in in_names
+            pltpu.VMEM((TX + 2 * h, CY, CZ), dt) for _, dt, h in in_names
         ] + [pltpu.SemaphoreType.DMA((NIN,))],
         interpret=interpret,
     )
-    return call, in_names, out_names
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_level_calls(level: int, levels: int, canon: Canon, dx: float,
+                          enhanced: bool, interpret: bool):
+    tk, tin, tout = _make_tau_kernel(level, levels, canon, dx, enhanced)
+    dk, din, dout = _make_dt_kernel(level, levels, canon, dx, enhanced)
+    tau_call = _pallas_level_call(tk, tin, tout, canon, interpret)
+    dt_call = _pallas_level_call(dk, din, dout, canon, interpret)
+    return (tau_call, tin, tout), (dt_call, din, dout)
 
 
 # ---------------------------------------------------------------------------
@@ -498,10 +627,11 @@ def build_frame_data(
     blocks,
     mass: UField,
     res_per_level,
+    force_tx: int | None = None,
 ):
     """Embed the per-frame loop-invariant arrays into canonical boxes."""
     levels = len(res_per_level)
-    canons = [make_canon(res_per_level[l]) for l in range(levels)]
+    canons = [make_canon(res_per_level[l], force_tx) for l in range(levels)]
     data: Dict[str, jnp.ndarray] = {}
     for l in range(levels):
         c = canons[l]
@@ -552,9 +682,9 @@ def make_pallas_operator(
     def fshape(l, f):
         return face_shape(res_per_level[l], f)
 
-    def embed_tree(u: UField) -> UField:
+    def embed_tree(u: UField, fill=0.0) -> UField:
         return {
-            (l, f): embed(u[(l, f)].astype(F32), canons[l], 0.0)
+            (l, f): embed(u[(l, f)].astype(F32), canons[l], fill)
             for (l, f) in u
         }
 
@@ -585,19 +715,28 @@ def make_pallas_operator(
         zps: Dict[Tuple[int, int], jnp.ndarray] = {}
         zcs: Dict[Tuple[int, int], jnp.ndarray] = {}
         for l in range(levels):
-            call, in_names, out_names = _compiled_level_call(
+            (tau_call, tin, _), (dt_call, din, dout) = _compiled_level_calls(
                 l, levels, canons[l], dx, enhanced, interpret
             )
-            args = []
-            for name, _ in in_names:
+
+            def arg_for(name):
                 if name.startswith("u") and not name.startswith("up"):
-                    args.append(u[(l, int(name[1]))])
-                elif name.startswith("up") or name.startswith("cs"):
-                    args.append(extras[f"{name}_{l}"])
+                    return u[(l, int(name[1]))]
+                if name.startswith("up") or name.startswith("cs"):
+                    return extras[f"{name}_{l}"]
+                return frame[f"{name}_{l}"]
+
+            wts = tau_call(*[arg_for(n) for n, _, _ in tin])
+            dt_args = []
+            for name, _, _ in din:
+                if name.startswith("wte"):
+                    dt_args.append(wts[int(name[3])])
+                elif name.startswith("wtc"):
+                    dt_args.append(wts[3 + int(name[3])])
                 else:
-                    args.append(frame[f"{name}_{l}"])
-            res = call(*args)
-            for name, r in zip(out_names, res):
+                    dt_args.append(frame[f"{name}_{l}"])
+            res = dt_call(*dt_args)
+            for name, r in zip(dout, res):
                 if name.startswith("out"):
                     outs[(l, int(name[3]))] = r
                 elif name.startswith("zp"):
@@ -619,8 +758,14 @@ def make_pallas_operator(
                 cs_adj, canons[l - 1], 0.0
             )
 
+        # mass term + masking fuse into one XLA pass per array
         return {
-            k: jnp.where(active_c[k], outs[k], 0.0) for k in outs
+            (l, f): jnp.where(
+                active_c[(l, f)],
+                outs[(l, f)] + frame[f"m{f}_{l}"] * u[(l, f)],
+                0.0,
+            )
+            for (l, f) in outs
         }
 
     return apply_A, embed_tree, crop_tree

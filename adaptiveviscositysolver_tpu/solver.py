@@ -179,9 +179,15 @@ def solve_viscosity(
         _, diag = operator.make_operator(blocks, mass, active, res_per_level)
         rhs = operator.boundary_rhs(blocks, mass, guess, active, res_per_level)
 
-        v2 = config.apply_impl.startswith("v2")
+        impl = config.apply_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "v1-fused"
+        if config.use_iterative_refinement and impl not in ("v1", "v1-fused"):
+            # refinement drives logical-space v1 applies in two precisions
+            impl = "v1-fused"
+        v2 = impl.startswith("v2")
         terms_builder = None
-        if config.fused_apply:
+        if impl.endswith("-fused"):
             def terms_builder():
                 if v2:
                     pvk, pek, pck = operator2.pad_kinds(
@@ -209,7 +215,21 @@ def solve_viscosity(
                     with_weights=False,
                 )
 
-        if v2:
+        if impl == "pallas":
+            # fused per-level TPU kernels (interpret mode off-TPU so the
+            # same code path stays testable on CPU)
+            from .ops import pallas_apply
+
+            frame, canons = pallas_apply.build_frame_data(
+                labels, vel_kinds, edge_kinds, center_kinds, blocks, mass,
+                res_per_level,
+            )
+            apply_A, embed_tree, crop_tree = pallas_apply.make_pallas_operator(
+                frame, canons, active, res_per_level, dx,
+                config.use_enhanced_gradients,
+                interpret=jax.default_backend() != "tpu",
+            )
+        elif v2:
             blocks_padded = operator2.pad_block_data(blocks)
             apply_A, pad_tree, unpad_tree = operator2.make_operator2(
                 blocks_padded, mass, active, res_per_level,
@@ -222,10 +242,6 @@ def solve_viscosity(
 
     with jax.named_scope("solve"):
         if config.use_iterative_refinement:
-            if v2:
-                raise NotImplementedError(
-                    "use_iterative_refinement supports the v1 apply only"
-                )
             f32 = jnp.float32
 
             def _cast32(tree):
@@ -242,6 +258,13 @@ def solve_viscosity(
                 apply_A, apply_A32, rhs, guess, diag,
                 config.tolerance, config.max_iterations,
             )
+        elif impl == "pallas":
+            sol_c, iters, rel = operator.pcg_flat(
+                apply_A, embed_tree(rhs), embed_tree(guess),
+                embed_tree(diag, fill=1.0),
+                config.tolerance, config.max_iterations,
+            )
+            solution = crop_tree(sol_c)
         elif v2:
             diag_pad = {
                 k: operator2.pad_halo(v, operator2.HU, fill=1.0)

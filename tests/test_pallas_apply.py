@@ -23,7 +23,7 @@ def _to_f32(tree):
 
 
 @pytest.mark.parametrize(
-    "kind", ["adaptive", "uniform", "nosolid", "noenh"]
+    "kind", ["adaptive", "uniform", "nosolid", "noenh", "tx2"]
 )
 def test_pallas_apply_matches_v1(kind):
     case = build_case(
@@ -37,9 +37,13 @@ def test_pallas_apply_matches_v1(kind):
     apply_v1, _ = operator.make_operator(blocks, mass, active, rpl)
 
     levels = case["levels"]
+    # "tx2" pins the big-level layout (TX=2 < MAX_HALO, PX=2): slab DMAs
+    # start inside the second pad tile, the configuration that can overrun
+    # the buffer if the x padding is miscomputed.
     frame, canons = pallas_apply.build_frame_data(
         case["jlabels"], case["jvk"], case["jek"], case["jck"],
         blocks, mass, rpl,
+        force_tx=2 if kind == "tx2" else None,
     )
     apply_pl, embed_tree, crop_tree = pallas_apply.make_pallas_operator(
         frame, canons, active, rpl, case["dx"],
@@ -67,3 +71,27 @@ def test_pallas_apply_matches_v1(kind):
             g, w, rtol=0, atol=3e-5 * scale,
             err_msg=f"level/axis {k} ({kind})",
         )
+
+
+def test_solver_pallas_impl_matches_default():
+    """Full pipeline with apply_impl='pallas' (interpret mode on CPU) agrees
+    with the default apply through writeback, at fp32 accuracy."""
+    import jax
+
+    from adaptiveviscositysolver_tpu.config import SolverConfig
+    from adaptiveviscositysolver_tpu.solver import solve_viscosity
+    from tests.test_solver import state_from_case
+
+    case = build_case(n=8, levels=2)
+    state = state_from_case(case)
+    cfg = SolverConfig(octree_levels=case["levels"], tolerance=1e-5,
+                       apply_impl="v1-fused")
+    cfg_pl = SolverConfig(octree_levels=case["levels"], tolerance=1e-5,
+                          apply_impl="pallas")
+    want = jax.jit(lambda s, t: solve_viscosity(s, t, cfg))(state, case["dt"])
+    got = jax.jit(lambda s, t: solve_viscosity(s, t, cfg_pl))(state, case["dt"])
+    assert float(got.stats.residual) <= 1e-5
+    scale = max(float(jnp.max(jnp.abs(v))) for v in want.velocity)
+    for a in range(3):
+        diff = float(jnp.max(jnp.abs(got.velocity[a] - want.velocity[a])))
+        assert diff / scale < 5e-4, (a, diff, scale)
