@@ -65,8 +65,6 @@ class SolverConfig:
     #                coefficients and taus live in VMEM registers only
     #   "v1"       — whole-array XLA apply with materialized coefficients
     #   "v1-fused" — v1 with coefficients rebuilt inside the CG loop
-    #   "v2"       — halo-padded slice-only apply (bandwidth-lean)
-    #   "v2-fused" — v2 + in-loop coefficient rebuild
     apply_impl: str = "auto"
 
     # Mixed-precision solve (the TPU-native reading of USESINGLEPRECISION,
@@ -86,7 +84,7 @@ class SolverConfig:
             raise ValueError("octree_levels must be >= 1")
         if self.num_supersamples < 1:
             raise ValueError("num_supersamples must be >= 1")
-        allowed = {"auto", "pallas", "v1", "v1-fused", "v2", "v2-fused"}
+        allowed = {"auto", "pallas", "v1", "v1-fused"}
         if self.apply_impl not in allowed:
             raise ValueError(f"apply_impl must be one of {sorted(allowed)}")
 

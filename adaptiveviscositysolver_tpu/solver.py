@@ -25,7 +25,7 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from . import classify, fields, interpolator, octree, operator, operator2, restriction, stencils, writeback
+from . import classify, fields, interpolator, octree, operator, restriction, stencils, writeback
 from .config import SolverConfig, capped_levels
 
 
@@ -185,26 +185,9 @@ def solve_viscosity(
         if config.use_iterative_refinement and impl not in ("v1", "v1-fused"):
             # refinement drives logical-space v1 applies in two precisions
             impl = "v1-fused"
-        v2 = impl.startswith("v2")
         terms_builder = None
         if impl.endswith("-fused"):
             def terms_builder():
-                if v2:
-                    pvk, pek, pck = operator2.pad_kinds(
-                        vel_kinds, edge_kinds, center_kinds
-                    )
-                    plab = [operator2.pad_halo(l, operator2.HS) for l in labels]
-                    psv = [operator2.pad_halo(v, operator2.HS)
-                           for v in state.solid_velocity]
-                    pew = [operator2.pad_halo(w, operator2.HS) for w in edge_w]
-                    pcw = operator2.pad_halo(center_w, operator2.HS)
-                    return stencils.build_edge_stress_blocks(
-                        plab, pvk, pek, pew, state.viscosity, psv, dt, dx,
-                        config, with_weights=False, halo=operator2.HS,
-                    ) + stencils.build_center_stress_blocks(
-                        plab, pvk, pck, pcw, state.viscosity, psv, dt, dx,
-                        config, with_weights=False,
-                    )
                 return stencils.build_edge_stress_blocks(
                     labels, vel_kinds, edge_kinds, edge_w,
                     state.viscosity, state.solid_velocity, dt, dx, config,
@@ -228,12 +211,6 @@ def solve_viscosity(
                 frame, canons, active, res_per_level, dx,
                 config.use_enhanced_gradients,
                 interpret=jax.default_backend() != "tpu",
-            )
-        elif v2:
-            blocks_padded = operator2.pad_block_data(blocks)
-            apply_A, pad_tree, unpad_tree = operator2.make_operator2(
-                blocks_padded, mass, active, res_per_level,
-                terms_builder=terms_builder,
             )
         else:
             apply_A, _ = operator.make_operator(
@@ -265,16 +242,6 @@ def solve_viscosity(
                 config.tolerance, config.max_iterations,
             )
             solution = crop_tree(sol_c)
-        elif v2:
-            diag_pad = {
-                k: operator2.pad_halo(v, operator2.HU, fill=1.0)
-                for k, v in diag.items()
-            }
-            sol_pad, iters, rel = operator.pcg_flat(
-                apply_A, pad_tree(rhs), pad_tree(guess), diag_pad,
-                config.tolerance, config.max_iterations,
-            )
-            solution = unpad_tree(sol_pad)
         else:
             solution, iters, rel = operator.pcg_flat(
                 apply_A, rhs, guess, diag, config.tolerance, config.max_iterations

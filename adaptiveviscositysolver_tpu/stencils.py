@@ -173,7 +173,6 @@ def build_edge_stress_blocks(
     dx: float,
     config: SolverConfig,
     with_weights: bool = True,
-    halo: int = 0,
 ) -> List[StressBlock]:
     """Edge (shear) stress term bundles per level/axis
     (buildEdgeStressStencilsPartial, cpp:2059-2160).
@@ -181,10 +180,6 @@ def build_edge_stress_blocks(
     ``with_weights=False`` skips the integration-weight/boundary arrays —
     used when terms are rebuilt inside the CG loop so the (loop-invariant)
     coefficient construction trades HBM reads for cheap int8 recompute.
-
-    ``halo``: set (to an even value) when every grid input is uniformly
-    halo-padded (operator2) — parities survive even halos and the one
-    internal parent upread is made halo-aware.
 
     Note: for solid-boundary faces the reference samples the *edge-axis*
     component of the solid velocity (cpp:1901) although the face being
@@ -263,23 +258,9 @@ def build_edge_stress_blocks(
                         terms.append(StressTerm("parent", f, level + 1, off, c3))
                         # T4/T5: dangling edge -> two parent faces or their
                         # four inset children (cpp:1829-1895)
-                        if halo:
-                            # upread needs halo_fine = 2*halo_coarse; unpad,
-                            # lift, repad (int8, cheap)
-                            lg = tuple(r - 2 * halo for r in res)
-                            ck = vel_kinds[level + 1][f][tuple(
-                                slice(halo, sz - halo)
-                                for sz in vel_kinds[level + 1][f].shape
-                            )]
-                            pfk = upread(ck, face_shape(lg, f))
-                            parent_face_kind = jnp.pad(
-                                pfk, [(halo, halo)] * 3,
-                                constant_values=OUTSIDE,
-                            )
-                        else:
-                            parent_face_kind = upread(
-                                vel_kinds[level + 1][f], face_shape(res, f)
-                            )
+                        parent_face_kind = upread(
+                            vel_kinds[level + 1][f], face_shape(res, f)
+                        )
                         for so in (-1, 1):
                             offo = _add(off, _unit(f, so))
                             kp = gather_offset(parent_face_kind, eshape, offo, fill=OUTSIDE)

@@ -1,6 +1,6 @@
 """Amortized timing of the fused Pallas apply vs the v1 XLA apply on device.
 
-    python tools/profile_pallas.py [n] [K]
+    python tools/profile_pallas.py [n] [K] [force_tx]
 """
 
 import sys
@@ -35,6 +35,7 @@ def main():
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 96
     K = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    force_tx = int(sys.argv[3]) if len(sys.argv) > 3 else None
     config = SolverConfig(octree_levels=4)
     state = scenes.buckling(n=n)
     dx = state.dx
@@ -59,13 +60,14 @@ def main():
         )
         mass = stencils.build_mass(labels, vk, fw, st.density)
         frame, canons = pallas_apply.build_frame_data(
-            labels, vk, ek, ck, blocks, mass, [tuple(l.shape) for l in labels]
+            labels, vk, ek, ck, blocks, mass,
+            [tuple(l.shape) for l in labels], force_tx,
         )
         return labels, vk, blocks, mass, frame
 
     labels, vk, blocks, mass, frame = build(state)
     rpl = [tuple(l.shape) for l in labels]
-    canons = [pallas_apply.make_canon(r) for r in rpl]
+    canons = [pallas_apply.make_canon(r, force_tx) for r in rpl]
     active = {(l, a): vk[l][a] == classify.FLUID for l in range(levels) for a in range(3)}
     u0 = {k: jnp.where(active[k], 1.0, 0.0).astype(jnp.float32) for k in mass}
 
