@@ -99,7 +99,9 @@ def make_canon(res: Sequence[int], force_tx: int | None = None) -> Canon:
     # it, and 16 MB VMEM caps big levels at TX=2 (y/z stay whole).
     # ``force_tx`` lets tests exercise the small-TX (PX>1) layout on small
     # grids, where TX < MAX_HALO puts DMA starts in the second pad tile.
-    TX = force_tx or (2 if nx >= 64 else (4 if nx >= 32 else 8))
+    # (coarse levels get TX=4: at TX=8 the 24^3 D^T kernel with the folded
+    # mass/mask is 912 KB over the budget)
+    TX = force_tx or (2 if nx >= 64 else 4)
     K = -(-(nx + 1) // TX)
     # x pads must cover the largest slab halo: the DMA for interior tile i
     # spans [i*TX - h, i*TX + TX + h) and must stay inside the buffer.
@@ -379,6 +381,10 @@ def _dt_input_names(level: int, levels: int):
     names += [(f"wtc{x}", F32, 2) for x in range(3)]
     names += [(f"kp{g}", KIND_DT, 4)
               for g in range(len(_pack_groups(level, levels)))]
+    # mass term + active mask are folded into this kernel (saves a
+    # full-tree XLA pass per iteration); u/m are read on out rows only
+    names += [(f"u{f}", F32, 0) for f in range(3)]
+    names += [(f"m{f}", F32, 0) for f in range(3)]
     return names
 
 
@@ -605,6 +611,23 @@ def _make_dt_kernel(level: int, levels: int, canon: Canon, dx: float,
                     else:
                         add(f"zc{axis}", emit(prod, off))
 
+            # fold the mass term + active mask into the face outputs:
+            # out_f = [vk_f == FLUID] * (sum_s c_s wtau_s + m_f u_f).
+            # The mask is REQUIRED, not just a hygiene pass: the T5
+            # blocksum adjoint distributes onto all 4 inset children of a
+            # dangling parent face, including non-FLUID ones.  zp/zc stay
+            # unmasked — the caller masks them at the cross-level add.
+            for f in range(3):
+                g, slot = smap[f"vk{f}"]
+                raw = _rd(v[f"kp{g}"], halo[f"kp{g}"], TX, (0, 0, 0),
+                          PACK_FILL)
+                mask = _eqf(_decode_kind(raw.astype(F32), slot), FLUID)
+                mu = v[f"u{f}"][:] * v[f"m{f}"][:]
+                base = acc[f"out{f}"]
+                acc[f"out{f}"] = (
+                    mask * (mu if base is None else base + mu)
+                )
+
             for j, name in enumerate(out_names):
                 val_out = acc[name]
                 if val_out is None:
@@ -776,6 +799,8 @@ def make_pallas_operator(
                     dt_args.append(wts[int(name[3])])
                 elif name.startswith("wtc"):
                     dt_args.append(wts[3 + int(name[3])])
+                elif name.startswith("u"):
+                    dt_args.append(u[(l, int(name[1]))])
                 else:
                     dt_args.append(frame[f"{name}_{l}"])
             res = dt_call(*dt_args)
@@ -787,28 +812,26 @@ def make_pallas_operator(
                 else:
                     zcs[(l, int(name[2]))] = r
 
-        # cross-level adjoints (XLA)
+        # cross-level adjoints (XLA), masked at the add: zp/zc leave the
+        # kernels unmasked and may distribute onto non-FLUID faces.  The
+        # per-level out arrays are already mass-added and masked in-kernel.
         for (l, f), zp in zps.items():
             zl = crop(zp, canons[l], fshape(l, f))
             up_adj = upread_adjoint(zl, fshape(l + 1, f))
-            outs[(l + 1, f)] = outs[(l + 1, f)] + embed(
-                up_adj, canons[l + 1], 0.0
+            outs[(l + 1, f)] = outs[(l + 1, f)] + jnp.where(
+                active_c[(l + 1, f)],
+                embed(up_adj, canons[l + 1], 0.0),
+                0.0,
             )
         for (l, f), zc in zcs.items():
             zl = crop(zc, canons[l], fshape(l, f))
             cs_adj = face_child_sum_adjoint(zl, f, fshape(l - 1, f))
-            outs[(l - 1, f)] = outs[(l - 1, f)] + embed(
-                cs_adj, canons[l - 1], 0.0
-            )
-
-        # mass term + masking fuse into one XLA pass per array
-        return {
-            (l, f): jnp.where(
-                active_c[(l, f)],
-                outs[(l, f)] + frame[f"m{f}_{l}"] * u[(l, f)],
+            outs[(l - 1, f)] = outs[(l - 1, f)] + jnp.where(
+                active_c[(l - 1, f)],
+                embed(cs_adj, canons[l - 1], 0.0),
                 0.0,
             )
-            for (l, f) in outs
-        }
+
+        return outs
 
     return apply_A, embed_tree, crop_tree
