@@ -13,7 +13,7 @@ Covers BASELINE.md's two canonical workloads (the reference's
                    the TPU, milliseconds, best of N after warm-up.
 ``vs_baseline``  — speedup vs the CPU solving the *same assembled system*
                    with scipy's Jacobi-preconditioned CG from the same
-                   initial guess to the same tolerance (median of 3 runs): a
+                   initial guess to the same tolerance (median of 5 runs): a
                    stand-in for the reference's Eigen-CG hot path
                    (HDK_AdaptiveViscosity.cpp:611-631).  The real reference
                    frame also pays octree build + assembly on the CPU, so
@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 
-def bench_scene(metric, state, config, reps=4):
+def bench_scene(metric, state, config, reps=6):
     from adaptiveviscositysolver_tpu import (
         classify, export, fields, octree, restriction, stencils,
     )
@@ -130,7 +130,7 @@ def bench_scene(metric, state, config, reps=4):
         M = spla.LinearOperator(A.shape, matvec=lambda v: minv * v)
 
         times = []
-        for _ in range(3):  # median of 3: single runs are too noisy to
+        for _ in range(5):  # median of 5: single runs are too noisy to
             it = [0]        # drive optimization decisions (VERDICT r1)
 
             def cb(_):
@@ -152,7 +152,7 @@ def bench_scene(metric, state, config, reps=4):
         "value": round(tpu_ms, 2),
         "unit": "ms",
         "vs_baseline": round(baseline_ms / tpu_ms, 2) if baseline_ms else None,
-        "baseline": "scipy Jacobi-CG (CPU) median-of-3 on the same system, "
+        "baseline": "scipy Jacobi-CG (CPU) median-of-5 on the same system, "
                     "solve stage only",
         "baseline_ms": round(baseline_ms, 2) if baseline_ms else None,
         "cg_iterations": int(out.stats.iterations),
