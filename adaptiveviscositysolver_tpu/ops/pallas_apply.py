@@ -102,6 +102,11 @@ def make_canon(res: Sequence[int], force_tx: int | None = None) -> Canon:
     # (coarse levels get TX=4: at TX=8 the 24^3 D^T kernel with the folded
     # mass/mask is 912 KB over the budget)
     TX = force_tx or (2 if nx >= 64 else 4)
+    if TX % 2 != 0:
+        # the whole parity scheme (even pads, slab starts i*TX-2) relies on
+        # TX even; an odd TX would silently corrupt enhanced-sibling /
+        # dangling parities rather than fail.
+        raise ValueError(f"x tile size must be even, got TX={TX}")
     K = -(-(nx + 1) // TX)
     # x pads must cover the largest slab halo: the DMA for interior tile i
     # spans [i*TX - h, i*TX + TX + h) and must stay inside the buffer.
@@ -637,6 +642,287 @@ def _make_dt_kernel(level: int, levels: int, canon: Canon, dx: float,
     return kernel, in_names, out_names
 
 
+def _fused_input_names(level: int, levels: int):
+    """(name, dtype, slab_halo) for the fused (tau+D^T) kernel: stress rows
+    span out rows +-2, value reads another +-2 (T2 sibling / T5 blocksum)
+    -> halo 4 for stencil-read f32 inputs and the kind grids; weights are
+    read on stress rows only (halo 2); mass/u-mass on out rows (halo 0 via
+    the u slab)."""
+    names = [(f"u{f}", F32, 4) for f in range(3)]
+    if level + 1 < levels:
+        names += [(f"up{f}", F32, 4) for f in range(3)]
+    if level > 0:
+        names += [(f"cs{f}", F32, 4) for f in range(3)]
+    names += [(f"kp{g}", KIND_DT, 4)
+              for g in range(len(_pack_groups(level, levels)))]
+    names += [(f"we{a}", F32, 2) for a in range(3)]
+    names += [("wc", F32, 2)]
+    names += [(f"m{f}", F32, 0) for f in range(3)]
+    return names
+
+
+def _make_fused_kernel(level: int, levels: int, canon: Canon, dx: float,
+                       enhanced: bool):
+    """One kernel per level: build every weighted stress tau in-register AND
+    immediately distribute it back onto the velocity faces (tau kernel + D^T
+    kernel fused; the CG SpMV hot loop, cpp:611-643).
+
+    Two wins over the split pair: the 6 per-level wtau arrays never touch
+    HBM (no write + halo'd re-read), and each stress coefficient is built
+    ONCE — the shared per-(face,slot) coefficient planes (q = act*base,
+    e = act*enh*base, un = una*base) serve both the tau gather and the D^T
+    scatter, where the split kernels re-derived every coefficient twice.
+    Term algebra is identical to _edge_terms/_center_terms (equality is
+    property-tested against the v1 operator).
+    """
+    TX = canon.TX
+    CX, CY, CZ = canon.shape
+    R = TX + 4          # stress rows: out rows +-2
+    BT = 2              # first out row within the stress-row window
+    dxw = dx * (1 << level)
+    in_names = _fused_input_names(level, levels)
+    out_names = _dt_output_names(level, levels)
+    NIN, NOUT = len(in_names), len(out_names)
+    has_parent = level + 1 < levels
+    has_child = level > 0
+    pbase = {0: 0, 1: 0, 2: 0}
+    smap = _kind_slot_map(level, levels)
+
+    def kernel(*refs):
+        ins = refs[:NIN]
+        outs = refs[NIN:NIN + NOUT]
+        scratch = refs[NIN + NOUT:NIN + NOUT + NIN]
+        sems = refs[NIN + NOUT + NIN]
+
+        i = pl.program_id(0)
+        interior = jnp.logical_and(i >= canon.PX, i < canon.PX + canon.K)
+
+        @pl.when(jnp.logical_not(interior))
+        def _():
+            for j in range(NOUT):
+                outs[j][:] = jnp.zeros((TX, CY, CZ), F32)
+
+        @pl.when(interior)
+        def _():
+            copies = [
+                pltpu.make_async_copy(
+                    ins[j].at[pl.ds(i * TX - h, TX + 2 * h)], scratch[j],
+                    sems.at[j]
+                )
+                for j, (_, _, h) in enumerate(in_names)
+            ]
+            for c in copies:
+                c.start()
+            for c in copies:
+                c.wait()
+
+            v = {}
+            halo = {}
+            for j, (name, dt_, h) in enumerate(in_names):
+                v[name] = scratch[j][:]
+                halo[name] = h
+
+            # stress-row reads: slab row halo-2 covers stress row 0
+            def kind(name, off=(0, 0, 0)):
+                g, slot = smap[name]
+                raw = _rd(v[f"kp{g}"], halo[f"kp{g}"] - 2, R, off, PACK_FILL)
+                return _decode_kind(raw.astype(F32), slot)
+
+            def val(name, off=(0, 0, 0)):
+                return _rd(v[name], halo[name] - 2, R, off, 0.0)
+
+            def valw(name, off=(0, 0, 0)):
+                # x-expanded read for the T5 blocksum (one extra row each
+                # side keeps odd-aligned block partners in-window)
+                return _rd(v[name], halo[name] - 3, R + 2, off, 0.0)
+
+            def t5_blocksum(f, offo):
+                t_axes = [t for t in range(3) if t != f]
+                pb = {ax: pbase[ax] + offo[ax] for ax in range(3)}
+                pbw = dict(pb)
+                pbw[0] -= 1
+                wide = valw(f"u{f}", offo)
+                bsw = _blocksum_t(wide, t_axes, pbw)
+                return bsw[1:wide.shape[0] - 1]
+
+            def emit(prod, off):
+                # (TX, CY, CZ) out-rows view of prod shifted by -off
+                xs = BT - off[0]
+                w = prod[xs:xs + TX]
+                w = _sh_yz(w, 1, -off[1], 0.0)
+                w = _sh_yz(w, 2, -off[2], 0.0)
+                return w
+
+            def emit_blocksum(prod, off, t_axes):
+                z = _sh_yz_or_x(prod, 0, -off[0])
+                z = _sh_yz(z, 1, -off[1], 0.0)
+                z = _sh_yz(z, 2, -off[2], 0.0)
+                b = _blocksum_t(z, t_axes, pbase)
+                return b[BT:BT + TX]
+
+            acc = {n: None for n in out_names}
+
+            def add(name, contrib):
+                acc[name] = (
+                    contrib if acc[name] is None else acc[name] + contrib
+                )
+
+            shape = (R, CY, CZ)
+            for a in range(3):
+                # ---- shared coefficient planes (built once per axis)
+                active_edge = _eqf(kind(f"ek{a}"), FLUID)
+                f_axes = [f for f in range(3) if f != a]
+                planes = {}
+                for f in f_axes:
+                    g = 3 - a - f
+                    k0 = kind(f"vk{f}", _unit(g, -1))
+                    k1 = kind(f"vk{f}")
+                    una0, una1 = _eqf(k0, UNASSIGNED), _eqf(k1, UNASSIGNED)
+                    binv = 1.0 / (dxw * (1.0 + 0.5 * (una0 + una1)))
+                    if enhanced:
+                        is_trans = una0 + una1 - una0 * una1
+                        not_out = (
+                            (1.0 - _eqf(k0, OUTSIDE) - _eqf(k0, SOLIDBOUNDARY))
+                            * (1.0 - _eqf(k1, OUTSIDE) - _eqf(k1, SOLIDBOUNDARY))
+                        )
+                        enh = is_trans * not_out
+                    for d in (0, 1):
+                        sign = -1.0 if d == 0 else 1.0
+                        k, una = (k0, una0) if d == 0 else (k1, una1)
+                        base = sign * binv
+                        act = _eqf(k, FLUID) * active_edge
+                        p = {"q": act * base,
+                             "un": una * active_edge * base}
+                        if enhanced:
+                            p["e"] = act * enh * base
+                        planes[(f, d)] = p
+
+                def edge_terms():
+                    """(coeff, off, dest, value_fn) per term — cheap combos
+                    of the planes; same cases as _edge_terms (T1-T5)."""
+                    for f in f_axes:
+                        g = 3 - a - f
+                        for d in (0, 1):
+                            off = _unit(g, -1) if d == 0 else (0, 0, 0)
+                            p = planes[(f, d)]
+                            if enhanced:
+                                c1 = 0.5 * p["q"] - 0.25 * p["e"]
+                            else:
+                                c1 = 0.5 * p["q"]
+                            yield (c1, off, ("same", f),
+                                   lambda off=off, f=f: val(f"u{f}", off))
+                            if enhanced:
+                                par_even = _parity_even_f(shape, a, pbase[a])
+                                for par, so in ((par_even, 1),
+                                                (1.0 - par_even, -1)):
+                                    o2 = _add(off, _unit(a, so))
+                                    yield (0.25 * p["e"] * par, o2,
+                                           ("same", f),
+                                           lambda o2=o2, f=f: val(f"u{f}", o2))
+                            if has_parent:
+                                dang = 1.0 - _parity_even_f(shape, f, pbase[f])
+                                yield (0.5 * p["un"] * (1.0 - dang), off,
+                                       ("parent", f),
+                                       lambda off=off, f=f: val(f"up{f}", off))
+                                for so in (-1, 1):
+                                    offo = _add(off, _unit(f, so))
+                                    kp = kind(f"pk{f}", offo)
+                                    c4 = (p["un"] * dang * 0.25
+                                          * _eqf(kp, FLUID))
+                                    yield (c4, offo, ("parent", f),
+                                           lambda offo=offo, f=f:
+                                           val(f"up{f}", offo))
+                                    c5 = (p["un"] * dang * 0.0625
+                                          * _eqf(kp, UNASSIGNED))
+                                    yield (c5, offo, ("blocksum", f),
+                                           lambda offo=offo, f=f:
+                                           t5_blocksum(f, offo))
+
+                # ---- tau gather, then immediate D^T scatter (wtau stays
+                # in VMEM; identical expressions let the compiler CSE the
+                # coefficients across the two passes)
+                tau = None
+                for c, off, dest, value in edge_terms():
+                    contrib = c * value()
+                    tau = contrib if tau is None else tau + contrib
+                wtau = val(f"we{a}") * tau
+                for c, off, dest, value in edge_terms():
+                    mode, f = dest
+                    prod = c * wtau
+                    if mode == "same":
+                        add(f"out{f}", emit(prod, off))
+                    elif mode == "parent":
+                        add(f"zp{f}", emit(prod, off))
+                    else:
+                        t_axes = [t for t in range(3) if t != f]
+                        add(f"out{f}", emit_blocksum(prod, off, t_axes))
+
+            # ---- center stresses (coefficients are trivial; build the
+            # per-axis planes once, use for gather + scatter)
+            act_c = _eqf(kind("ck"), FLUID)
+            wcv = val("wc")
+            for axis in range(3):
+                cterms = []
+                for d in (0, 1):
+                    off = (0, 0, 0) if d == 0 else _unit(axis, 1)
+                    sign = -1.0 if d == 0 else 1.0
+                    k = kind(f"vk{axis}", off)
+                    c1 = _eqf(k, FLUID) * act_c * (sign / dxw)
+                    cterms.append((c1, off, "same",
+                                   lambda off=off: val(f"u{axis}", off)))
+                    if has_child:
+                        c2 = _eqf(k, UNASSIGNED) * act_c * (0.25 * sign / dxw)
+                        cterms.append((c2, off, "child",
+                                       lambda off=off: val(f"cs{axis}", off)))
+                tau = None
+                for c, off, dest, value in cterms:
+                    contrib = c * value()
+                    tau = contrib if tau is None else tau + contrib
+                wtau = wcv * tau
+                for c, off, dest, value in cterms:
+                    prod = c * wtau
+                    if dest == "same":
+                        add(f"out{axis}", emit(prod, off))
+                    else:
+                        add(f"zc{axis}", emit(prod, off))
+
+            # ---- mass term + active mask (same contract as the split D^T
+            # kernel: out_f = [vk_f == FLUID] * (sum + m_f u_f); zp/zc stay
+            # unmasked — the caller masks at the cross-level add)
+            for f in range(3):
+                g, slot = smap[f"vk{f}"]
+                raw = _rd(v[f"kp{g}"], halo[f"kp{g}"], TX, (0, 0, 0),
+                          PACK_FILL)
+                mask = _eqf(_decode_kind(raw.astype(F32), slot), FLUID)
+                mu = (v[f"u{f}"][halo[f"u{f}"]:halo[f"u{f}"] + TX]
+                      * v[f"m{f}"][:])
+                base = acc[f"out{f}"]
+                acc[f"out{f}"] = (
+                    mask * (mu if base is None else base + mu)
+                )
+
+            for j, name in enumerate(out_names):
+                val_out = acc[name]
+                if val_out is None:
+                    val_out = jnp.zeros((TX, CY, CZ), F32)
+                outs[j][:] = val_out
+
+    return kernel, in_names, out_names
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_fused_call(level: int, levels: int, canon: Canon, dx: float,
+                         enhanced: bool, interpret: bool):
+    fk, fin, fout = _make_fused_kernel(level, levels, canon, dx, enhanced)
+    return _pallas_level_call(fk, fin, fout, canon, interpret), fin, fout
+
+
+VMEM_LIMIT = 100 * 1024 * 1024  # v5e has 128 MB physical VMEM; the XLA
+# default scoped-vmem cap is 16 MB, far below what one core can use.  The
+# fused kernel's cross-pass coefficient liveness (~31 MB at 96^3) and the
+# TX>=4 layouts (~22 MB) both fit comfortably under a raised cap.
+
+
 def _pallas_level_call(kernel, in_names, out_names, canon: Canon,
                        interpret: bool):
     TX = canon.TX
@@ -658,6 +944,9 @@ def _pallas_level_call(kernel, in_names, out_names, canon: Canon,
             pltpu.VMEM((TX + 2 * h, CY, CZ), dt) for _, dt, h in in_names
         ] + [pltpu.SemaphoreType.DMA((NIN,))],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT,
+        ),
     )
 
 
@@ -736,8 +1025,13 @@ def make_pallas_operator(
     dx: float,
     enhanced: bool,
     interpret: bool = False,
+    fused: bool = True,
 ):
-    """Return (apply_A, embed_tree, crop_tree) in canonical space."""
+    """Return (apply_A, embed_tree, crop_tree) in canonical space.
+
+    ``fused=True`` (default) runs ONE kernel per level (tau + D^T in a
+    single pass, wtau never touches HBM); ``False`` keeps the split
+    tau/D^T kernel pair (useful for profiling comparisons)."""
     levels = len(res_per_level)
     active_c = {
         (l, f): embed(active[(l, f)], canons[l], False)
@@ -781,9 +1075,6 @@ def make_pallas_operator(
         zps: Dict[Tuple[int, int], jnp.ndarray] = {}
         zcs: Dict[Tuple[int, int], jnp.ndarray] = {}
         for l in range(levels):
-            (tau_call, tin, _), (dt_call, din, dout) = _compiled_level_calls(
-                l, levels, canons[l], dx, enhanced, interpret
-            )
 
             def arg_for(name):
                 if name.startswith("u") and not name.startswith("up"):
@@ -792,18 +1083,27 @@ def make_pallas_operator(
                     return extras[f"{name}_{l}"]
                 return frame[f"{name}_{l}"]
 
-            wts = tau_call(*[arg_for(n) for n, _, _ in tin])
-            dt_args = []
-            for name, _, _ in din:
-                if name.startswith("wte"):
-                    dt_args.append(wts[int(name[3])])
-                elif name.startswith("wtc"):
-                    dt_args.append(wts[3 + int(name[3])])
-                elif name.startswith("u"):
-                    dt_args.append(u[(l, int(name[1]))])
-                else:
-                    dt_args.append(frame[f"{name}_{l}"])
-            res = dt_call(*dt_args)
+            if fused:
+                f_call, fin, dout = _compiled_fused_call(
+                    l, levels, canons[l], dx, enhanced, interpret
+                )
+                res = f_call(*[arg_for(n) for n, _, _ in fin])
+            else:
+                (tau_call, tin, _), (dt_call, din, dout) = _compiled_level_calls(
+                    l, levels, canons[l], dx, enhanced, interpret
+                )
+                wts = tau_call(*[arg_for(n) for n, _, _ in tin])
+                dt_args = []
+                for name, _, _ in din:
+                    if name.startswith("wte"):
+                        dt_args.append(wts[int(name[3])])
+                    elif name.startswith("wtc"):
+                        dt_args.append(wts[3 + int(name[3])])
+                    elif name.startswith("u"):
+                        dt_args.append(u[(l, int(name[1]))])
+                    else:
+                        dt_args.append(frame[f"{name}_{l}"])
+                res = dt_call(*dt_args)
             for name, r in zip(dout, res):
                 if name.startswith("out"):
                     outs[(l, int(name[3]))] = r

@@ -22,10 +22,11 @@ def _to_f32(tree):
         if jnp.issubdtype(a.dtype, jnp.floating) else a, tree)
 
 
+@pytest.mark.parametrize("fused", [True, False], ids=["fused", "split"])
 @pytest.mark.parametrize(
     "kind", ["adaptive", "uniform", "nosolid", "noenh", "tx2"]
 )
-def test_pallas_apply_matches_v1(kind):
+def test_pallas_apply_matches_v1(kind, fused):
     case = build_case(
         uniform=(kind == "uniform"),
         with_solid=(kind != "nosolid"),
@@ -47,7 +48,7 @@ def test_pallas_apply_matches_v1(kind):
     )
     apply_pl, embed_tree, crop_tree = pallas_apply.make_pallas_operator(
         frame, canons, active, rpl, case["dx"],
-        enhanced=(kind != "noenh"), interpret=True,
+        enhanced=(kind != "noenh"), interpret=True, fused=fused,
     )
 
     rng = np.random.default_rng(11)

@@ -1,4 +1,5 @@
-"""Amortized timing of the fused Pallas apply vs the v1 XLA apply on device.
+"""Amortized timing of the Pallas applies (fused single-kernel and split
+tau/D^T pair) vs the v1 XLA apply on device.
 
     python tools/profile_pallas.py [n] [K] [force_tx]
 """
@@ -71,21 +72,30 @@ def main():
     active = {(l, a): vk[l][a] == classify.FLUID for l in range(levels) for a in range(3)}
     u0 = {k: jnp.where(active[k], 1.0, 0.0).astype(jnp.float32) for k in mass}
 
-    apply_pl, embed_tree, crop_tree = pallas_apply.make_pallas_operator(
-        frame, canons, active, rpl, dx, enhanced=True,
+    apply_fused, embed_tree, crop_tree = pallas_apply.make_pallas_operator(
+        frame, canons, active, rpl, dx, enhanced=True, fused=True,
+    )
+    apply_split, _, _ = pallas_apply.make_pallas_operator(
+        frame, canons, active, rpl, dx, enhanced=True, fused=False,
     )
     u0c = jax.jit(embed_tree)(u0)
 
-    @jax.jit
-    def rep_pl(u, frame):
-        def body(c, _):
-            v = apply_pl(c)
-            return {k: 0.01 * x for k, x in v.items()}, None
-        v, _ = lax.scan(body, u, None, length=K)
-        return v
+    def make_rep(apply_pl):
+        @jax.jit
+        def rep_pl(u, frame):
+            def body(c, _):
+                v = apply_pl(c)
+                return {k: 0.01 * x for k, x in v.items()}, None
+            v, _ = lax.scan(body, u, None, length=K)
+            return v
+        return rep_pl
 
-    t = timed("pallas", lambda: rep_pl(u0c, frame))
-    print(f"pallas apply             : {t / K * 1e3:8.3f} ms/apply", flush=True)
+    rep_fused, rep_split = make_rep(apply_fused), make_rep(apply_split)
+    t = timed("pallas-fused", lambda: rep_fused(u0c, frame))
+    print(f"pallas fused apply       : {t / K * 1e3:8.3f} ms/apply", flush=True)
+    t = timed("pallas-split", lambda: rep_split(u0c, frame))
+    print(f"pallas split apply       : {t / K * 1e3:8.3f} ms/apply", flush=True)
+    apply_pl = apply_fused
 
     # v1 comparison: build the operator INSIDE jit from traced args —
     # closing over on-device blocks bakes ~100s of MB of constants into the
