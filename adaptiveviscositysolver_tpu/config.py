@@ -62,7 +62,10 @@ class SolverConfig:
     # Matvec implementation (identical numerics, different HBM behavior):
     #   "auto"     — "pallas" on a TPU backend, "v1-fused" elsewhere
     #   "pallas"   — fused per-level Pallas TPU kernels (ops/pallas_apply.py):
-    #                coefficients and taus live in VMEM registers only
+    #                coefficients and taus live in VMEM registers only.
+    #                float32-only: a float64 solve with explicit "pallas"
+    #                raises unless use_iterative_refinement recovers the
+    #                precision ("auto" falls back to "v1-fused" for float64)
     #   "v1"       — whole-array XLA apply with materialized coefficients
     #   "v1-fused" — v1 with coefficients rebuilt inside the CG loop
     apply_impl: str = "auto"

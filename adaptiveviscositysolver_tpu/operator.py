@@ -247,17 +247,21 @@ def make_packer(shapes: Dict[Tuple[int, int], Tuple[int, int, int]]):
     return pack, unpack
 
 
-def _flat_pcg(A, b, x0, invd, threshold, max_iterations):
+def _flat_pcg(A, b, x0, invd, threshold, max_iterations, dot=None):
     """Flat-vector Jacobi-PCG core: iterate while ``||r||^2 > threshold``.
 
     z is never carried: the preconditioned residual is folded into the
     rz dot and the p update, and ||r||^2 is carried for the stopping test
     (one fewer full-vector pass per iteration each).
+    ``dot`` overrides the inner product — a distributed (shard_map) solve
+    passes a ``psum``-reduced vdot so every device agrees on the scalars.
     Returns (x, iterations, ||r||^2).
     """
+    if dot is None:
+        dot = jnp.vdot
     r0 = b - A(x0)
-    rr0 = jnp.vdot(r0, r0)
-    rz0 = jnp.vdot(r0, invd * r0)
+    rr0 = dot(r0, r0)
+    rz0 = dot(r0, invd * r0)
     p0 = invd * r0
 
     def cond(state):
@@ -267,11 +271,11 @@ def _flat_pcg(A, b, x0, invd, threshold, max_iterations):
     def body(state):
         x, r, p, rz, rr, it = state
         ap = A(p)
-        alpha = rz / jnp.vdot(p, ap)
+        alpha = rz / dot(p, ap)
         x = x + alpha * p
         r = r - alpha * ap
-        rr = jnp.vdot(r, r)
-        rz_new = jnp.vdot(r, invd * r)
+        rr = dot(r, r)
+        rz_new = dot(r, invd * r)
         p = invd * r + (rz_new / rz) * p
         return x, r, p, rz_new, rr, it + 1
 

@@ -31,16 +31,15 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "x") -> Mesh:
 
 
 def _face_spec(mesh: Mesh, face_axis: int, axis_name: str):
-    """Face grids are staggered (+1 along their axis, indivisible by the
-    mesh); shard them along the first *other* spatial dim."""
-    dims = [None, None, None]
-    dims[1 if face_axis == 0 else 0] = axis_name
-    return NamedSharding(mesh, P(*dims))
+    """Every grid — cell or staggered — shards on the SAME leading spatial
+    dim, so stencils mixing cell and face arrays never force a reshard
+    (GSPMD pads the +1 staggered remainder)."""
+    return NamedSharding(mesh, P(axis_name, None, None))
 
 
 def state_sharding(mesh: Mesh, axis_name: str = "x"):
-    """Sharding pytree for a FluidState: split cell grids on the leading
-    spatial dim, staggered face grids on their first even dim."""
+    """Sharding pytree for a FluidState: all grids split on the leading
+    spatial dim."""
     cell = NamedSharding(mesh, P(axis_name, None, None))
     face = tuple(_face_spec(mesh, a, axis_name) for a in range(3))
     return FluidState(
@@ -73,10 +72,19 @@ def shard_state(state: FluidState, mesh: Mesh, axis_name: str = "x") -> FluidSta
 
 def make_sharded_solver(mesh: Mesh, config: SolverConfig = SolverConfig(),
                         axis_name: str = "x"):
-    """Jitted solve with spatially-sharded inputs; XLA inserts the halo
-    exchanges and reductions."""
+    """Jitted multi-chip solve with spatially-sharded inputs.
+
+    Build/classify/stencil/writeback stages are whole-array ops — GSPMD
+    inserts their halo exchanges and reductions automatically.  The CG
+    stage is mesh-aware (solver.py): with ``apply_impl`` "pallas"/"auto"
+    it runs the fused Pallas matvec under an explicit ``shard_map``
+    (ppermute halos + psum dots, parallel/shard_pallas.py), since a
+    manual-DMA ``pallas_call`` is not GSPMD-partitionable; otherwise (or
+    when the grid doesn't admit the 1D decomposition) it uses the
+    GSPMD-shardable whole-array operator."""
 
     def solve(state: FluidState, dt):
-        return solve_viscosity(state, dt, config)
+        return solve_viscosity(state, dt, config, mesh=mesh,
+                               mesh_axis=axis_name)
 
     return jax.jit(solve)

@@ -94,11 +94,22 @@ def solve_viscosity(
     dt,
     config: SolverConfig = SolverConfig(),
     face_weights: Optional[Sequence[jnp.ndarray]] = None,
+    mesh=None,
+    mesh_axis: str = "x",
 ) -> SolveResult:
     """One viscosity solve (the reference's per-frame solveGasSubclass).
 
     ``face_weights`` are the host FLIP loop's face volume fractions
     ("surfaceweights", cpp:144); computed internally when omitted.
+
+    ``mesh``: a 1D ``jax.sharding.Mesh`` for an explicitly distributed
+    solve.  Build/stencil/writeback stages stay whole-array (GSPMD shards
+    them); the CG stage — the hot loop — runs the fused Pallas matvec
+    under ``shard_map`` with ``ppermute`` halo exchange and ``psum`` dot
+    products (parallel/shard_pallas.py).  Without a mesh, a Pallas solve
+    is single-device (the manual-DMA kernels are not GSPMD-partitionable);
+    if the grid does not admit the 1D decomposition the solve falls back
+    to the (GSPMD-shardable) whole-array operator.
     """
     _validate_state(state)
     if config.dtype is not None:
@@ -181,10 +192,36 @@ def solve_viscosity(
 
         impl = config.apply_impl
         if impl == "auto":
-            impl = "pallas" if jax.default_backend() == "tpu" else "v1-fused"
+            # the Pallas path is float32-only; a float64 auto solve keeps
+            # full precision via the whole-array apply
+            impl = ("pallas" if jax.default_backend() == "tpu"
+                    and sdtype != jnp.float64 else "v1-fused")
         if config.use_iterative_refinement and impl not in ("v1", "v1-fused"):
             # refinement drives logical-space v1 applies in two precisions
             impl = "v1-fused"
+        sharded_pallas = False
+        if mesh is not None and impl == "pallas":
+            # mesh-aware selection: a manual-DMA pallas_call cannot be
+            # GSPMD-partitioned, so a meshed Pallas solve must go through
+            # the explicit shard_map path — or fall back to the whole-array
+            # operator when the grid doesn't decompose
+            from .parallel import shard_pallas
+
+            if (mesh.devices.size > 1
+                    and shard_pallas.shardable_levels(
+                        res_per_level, mesh.devices.size)):
+                sharded_pallas = True
+            elif mesh.devices.size > 1:
+                impl = "v1-fused"
+        if impl == "pallas" and sdtype == jnp.float64:
+            # the Pallas kernels are float32-only: build_frame_data and
+            # embed_tree cast everything to F32, so an explicit fp64 solve
+            # would silently lose precision.  Demand an explicit choice.
+            raise ValueError(
+                "apply_impl='pallas' computes in float32; for a float64 "
+                "solve use use_iterative_refinement=True (fp32 inner CG, "
+                "fp64 residual) or apply_impl='v1'/'v1-fused'"
+            )
         terms_builder = None
         if impl.endswith("-fused"):
             def terms_builder():
@@ -198,7 +235,9 @@ def solve_viscosity(
                     with_weights=False,
                 )
 
-        if impl == "pallas":
+        if impl == "pallas" and sharded_pallas:
+            apply_A = None  # the shard_map stage builds its own operator
+        elif impl == "pallas":
             # fused per-level TPU kernels (interpret mode off-TPU so the
             # same code path stays testable on CPU)
             from .ops import pallas_apply
@@ -228,13 +267,54 @@ def solve_viscosity(
                     tree,
                 )
 
+            def terms_builder32():
+                # rebuild the f32 coefficient arrays from the int8 kind grids
+                # inside the inner CG loop (same recompute-over-HBM trade as
+                # the v1-fused path; coeff dtype follows viscosity's)
+                return stencils.build_edge_stress_blocks(
+                    labels, vel_kinds, edge_kinds, edge_w,
+                    state.viscosity.astype(f32),
+                    tuple(v.astype(f32) for v in state.solid_velocity),
+                    dt, dx, config, with_weights=False,
+                ) + stencils.build_center_stress_blocks(
+                    labels, vel_kinds, center_kinds, center_w,
+                    state.viscosity.astype(f32),
+                    tuple(v.astype(f32) for v in state.solid_velocity),
+                    dt, dx, config, with_weights=False,
+                )
+
             apply_A32, _ = operator.make_operator(
-                _cast32(blocks), _cast32(mass), active, res_per_level
+                _cast32(blocks), _cast32(mass), active, res_per_level,
+                terms_builder=terms_builder32,
             )
             solution, iters, rel = operator.pcg_refined(
                 apply_A, apply_A32, rhs, guess, diag,
                 config.tolerance, config.max_iterations,
             )
+        elif impl == "pallas" and sharded_pallas:
+            from .parallel import shard_pallas
+
+            f32 = jnp.float32
+            we = {(b.level, b.axis): b.weight.astype(f32)
+                  for b in blocks if b.kind == "edge"}
+            wc_by_level = {}
+            for b in blocks:
+                if b.kind == "center" and b.level not in wc_by_level:
+                    wc_by_level[b.level] = b.weight.astype(f32)
+            wc = [wc_by_level[l] for l in range(levels)]
+
+            def c32(tree):
+                return {k: v.astype(f32) for k, v in tree.items()}
+
+            solution, iters, rel = shard_pallas.sharded_pallas_pcg(
+                mesh, mesh_axis,
+                vel_kinds, edge_kinds, center_kinds, we, wc,
+                c32(mass), active, c32(rhs), c32(guess), c32(diag),
+                res_per_level, dx, config.use_enhanced_gradients,
+                config.tolerance, config.max_iterations,
+                interpret=jax.default_backend() != "tpu",
+            )
+            solution = {k: v.astype(sdtype) for k, v in solution.items()}
         elif impl == "pallas":
             sol_c, iters, rel = operator.pcg_flat(
                 apply_A, embed_tree(rhs), embed_tree(guess),
@@ -268,12 +348,68 @@ def solve_viscosity(
     return SolveResult(velocity=tuple(new_velocity), stats=stats)
 
 
-def make_solver(config: SolverConfig = SolverConfig()):
-    """Jitted solve closure: ``solve(state, dt) -> SolveResult``."""
+@functools.lru_cache(maxsize=None)
+def _levels_probe(shape, levels, dx, extrapolation, fine_bandwidth):
+    """Jitted occupancy probe shared across frames of identical geometry."""
 
-    @functools.partial(jax.jit, static_argnames=())
+    @jax.jit
+    def counts(liquid, solid):
+        inner_band = dx * max(2.0, float(fine_bandwidth))
+        mask = octree.build_refinement_mask(
+            liquid, solid, dx, extrapolation, 3.0 * dx, inner_band
+        )
+        labels = octree.build_octree(mask, levels)
+        return octree.active_cell_counts(labels)
+
+    return counts
+
+
+def effective_levels(state: FluidState, config: SolverConfig) -> int:
+    """Octree level count with trailing empty levels dropped — the host-side
+    analog of the reference's empty-top-level trim
+    (/root/reference/Source/HDK_OctreeGrid.cpp:198-211, 877-920).
+
+    A level with zero ACTIVE cells contributes no DOFs, no stencils and no
+    couplings, so solving with it removed yields the identical system while
+    skipping that level's per-CG-iteration kernel launches.  The probe is a
+    small jitted program (mask + octree build + per-level counts), evaluated
+    eagerly so the level count is a static (trace-time) quantity.
+    """
+    levels = capped_levels(state.liquid_sdf.shape, config.octree_levels)
+    counts = _levels_probe(
+        tuple(state.liquid_sdf.shape), levels, state.dx,
+        config.extrapolation * state.dx, config.fine_bandwidth,
+    )(state.liquid_sdf, state.solid_sdf)
+    counts = [int(c) for c in counts]
+    while levels > 1 and counts[levels - 1] == 0:
+        levels -= 1
+    return levels
+
+
+def make_solver(config: SolverConfig = SolverConfig(),
+                auto_trim_levels: bool = True):
+    """Solve closure ``solve(state, dt) -> SolveResult``.
+
+    ``auto_trim_levels`` (default on, matching the reference's
+    HDK_OctreeGrid.cpp:198-211 behavior) probes the octree occupancy per
+    call and dispatches to a pipeline compiled for the trimmed level count —
+    empty top levels cost per-iteration kernel launches otherwise.  One
+    compiled program is cached per distinct level count.
+    """
+    jitted = {}
+
     def solve(state: FluidState, dt):
-        return solve_viscosity(state, dt, config)
+        cfg = config
+        if auto_trim_levels:
+            lv = effective_levels(state, config)
+            if lv != config.octree_levels:
+                cfg = dataclasses.replace(config, octree_levels=lv)
+        key = cfg.octree_levels
+        if key not in jitted:
+            jitted[key] = jax.jit(
+                functools.partial(lambda c, s, t: solve_viscosity(s, t, c), cfg)
+            )
+        return jitted[key](state, dt)
 
     return solve
 
