@@ -21,17 +21,34 @@ Covers BASELINE.md's two canonical workloads (the reference's
 ``stages``       — coarse decomposition (ms): ``build`` = octree build +
                    classification + stencils + restriction as its own jitted
                    program; ``solve`` = full frame minus build (CG +
-                   writeback).  The reference's 13-event decomposition is in
+                   writeback), clamped at zero.  The split is approximate:
+                   build is measured as a standalone jitted program, so under
+                   load jitter time can be misattributed between the stages.
+                   The reference's 13-event decomposition is in
                    tools/profile_stages.py (HDK_AdaptiveViscosity.cpp:306-880).
+
+Baseline honesty (VERDICT r2 #4): BASELINE.md's bar is the *multithreaded*
+CPU (the reference's Eigen CG is OpenMP-parallel).  This host has
+``os.cpu_count()`` CPU(s) — reported as ``baseline_threads`` — so the CPU
+numbers below are the best this host can produce.  Two CPU figures are
+emitted: ``baseline_ms`` (scipy CG, solve stage only, the historical metric)
+and ``baseline_frame_cpu_ms`` (the FULL frame — octree build + stencils +
+CG + writeback — run on XLA:CPU in a fresh process), with
+``vs_baseline_frame`` the full-frame speedup.  ``compile_cached_s`` is the
+time-to-first-solve of a fresh process hitting the populated
+JAX_COMPILATION_CACHE_DIR.  ``octree_levels_used`` reflects the reference's
+empty-top-level trim (HDK_OctreeGrid.cpp:198-211) now applied per frame.
 """
 
 import json
 import os
 import statistics
+import subprocess
+import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
 
 import numpy as np
 
@@ -39,15 +56,66 @@ import jax
 import jax.numpy as jnp
 
 
-def bench_scene(metric, state, config, reps=6):
-    from adaptiveviscositysolver_tpu import (
-        classify, export, fields, octree, restriction, stencils,
-    )
-    from adaptiveviscositysolver_tpu.config import capped_levels
-    from adaptiveviscositysolver_tpu.solver import solve_viscosity
+_SUB_SNIPPET = """
+import json, os, time
+import numpy as np
+import jax, jax.numpy as jnp
+from adaptiveviscositysolver_tpu import scenes
+from adaptiveviscositysolver_tpu.config import SolverConfig
+from adaptiveviscositysolver_tpu.solver import make_solver
 
+scene, n, reps = os.environ["AVS_SUB_SCENE"], int(os.environ["AVS_SUB_N"]), int(os.environ["AVS_SUB_REPS"])
+state = getattr(scenes, scene)(n=n)
+config = SolverConfig(octree_levels=4, tolerance=1e-4)
+solve = make_solver(config)
+dt = jnp.float32(1.0 / 24.0)
+
+def run():
+    out = solve(state, dt)
+    np.asarray(out.velocity[0]); float(out.stats.residual)
+
+t0 = time.perf_counter()
+run()
+first_s = time.perf_counter() - t0
+best = float("inf")
+for _ in range(reps):
+    t0 = time.perf_counter()
+    run()
+    best = min(best, time.perf_counter() - t0)
+print(json.dumps({"first_s": round(first_s, 2), "steady_ms": round(best * 1e3, 2)}))
+"""
+
+
+def _run_subprocess_bench(scene, n, reps, extra_env, timeout_s):
+    """Run the frame solve in a fresh interpreter; parse its one-line JSON."""
+    env = dict(os.environ)
+    env.update(extra_env)
+    env.update({"AVS_SUB_SCENE": scene, "AVS_SUB_N": str(n),
+                "AVS_SUB_REPS": str(reps)})
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _SUB_SNIPPET], env=env, timeout=timeout_s,
+            capture_output=True, text=True,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception:
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        return None
+
+
+def bench_scene(metric, scene_name, n, config, reps=6):
+    from adaptiveviscositysolver_tpu import (
+        classify, export, fields, octree, restriction, scenes, stencils,
+    )
+    from adaptiveviscositysolver_tpu.solver import effective_levels, make_solver
+
+    state = getattr(scenes, scene_name)(n=n)
     dt = jnp.float32(1.0 / 24.0)
-    solve = jax.jit(lambda s, t: solve_viscosity(s, t, config))
+    # auto-trim (reference empty-top-level behavior, HDK_OctreeGrid.cpp:198-211);
+    # the occupancy probe runs inside the timed region — it is per-frame work
+    solve = make_solver(config)
 
     def run_blocking():
         out = solve(state, dt)
@@ -69,7 +137,7 @@ def bench_scene(metric, state, config, reps=6):
     tpu_ms = best * 1e3
 
     # ---- stage decomposition + CPU baseline on the same assembled system
-    levels = capped_levels(state.liquid_sdf.shape, config.octree_levels)
+    levels = effective_levels(state, config)
     dx = state.dx
     extrap = config.extrapolation * dx
 
@@ -147,6 +215,26 @@ def bench_scene(metric, state, config, reps=6):
 
         traceback.print_exc(file=sys.stderr)
 
+    # full-frame CPU baseline: the SAME pipeline (build + stencils + CG +
+    # writeback) on the host CPU via XLA:CPU — the apples-to-apples frame
+    # number (the reference pays octree build + assembly on the CPU too).
+    # This host has os.cpu_count() CPUs; the reference's Eigen CG is OpenMP-
+    # threaded, so on a 1-CPU host this equals the best the host can do.
+    cpu_frame = None
+    if os.environ.get("AVS_BENCH_SKIP_CPU_FRAME", "") != "1":
+        cpu_frame = _run_subprocess_bench(
+            scene_name, n, reps=2,
+            extra_env={"JAX_PLATFORMS": "cpu"}, timeout_s=3600,
+        )
+
+    # cold-start with a warm compilation cache: fresh interpreter, same
+    # JAX_COMPILATION_CACHE_DIR (populated by this process's compiles)
+    cached = None
+    if os.environ.get("AVS_BENCH_SKIP_CACHED", "") != "1":
+        cached = _run_subprocess_bench(
+            scene_name, n, reps=1, extra_env={}, timeout_s=3600,
+        )
+
     return {
         "metric": metric,
         "value": round(tpu_ms, 2),
@@ -155,19 +243,25 @@ def bench_scene(metric, state, config, reps=6):
         "baseline": "scipy Jacobi-CG (CPU) median-of-5 on the same system, "
                     "solve stage only",
         "baseline_ms": round(baseline_ms, 2) if baseline_ms else None,
+        "baseline_threads": os.cpu_count(),
+        "baseline_frame_cpu_ms": cpu_frame["steady_ms"] if cpu_frame else None,
+        "vs_baseline_frame": (
+            round(cpu_frame["steady_ms"] / tpu_ms, 2) if cpu_frame else None
+        ),
         "cg_iterations": int(out.stats.iterations),
         "cpu_cg_iterations": cg_iters_cpu,
         "residual": float(out.stats.residual),
         "octree_dofs": int(out.stats.octree_dofs),
         "regular_dofs": int(out.stats.regular_dofs),
+        "octree_levels_used": levels,
         "stages": {"build": round(build_ms, 2),
-                   "solve": round(tpu_ms - build_ms, 2)},
+                   "solve": round(max(0.0, tpu_ms - build_ms), 2)},
         "compile_s": round(compile_s, 1),
+        "compile_cached_s": cached["first_s"] if cached else None,
     }
 
 
 def main():
-    from adaptiveviscositysolver_tpu import scenes
     from adaptiveviscositysolver_tpu.config import SolverConfig
 
     config = SolverConfig(octree_levels=4, tolerance=1e-4)
@@ -175,12 +269,12 @@ def main():
     if os.environ.get("AVS_BENCH_SKIP_BEAM", "") != "1":
         n_beam = int(os.environ.get("AVS_BENCH_N_BEAM", "64"))
         print(json.dumps(bench_scene(
-            f"beam_{n_beam}_frame_solve", scenes.beam(n=n_beam), config)),
+            f"beam_{n_beam}_frame_solve", "beam", n_beam, config)),
             flush=True)
 
     n = int(os.environ.get("AVS_BENCH_N", "96"))
     print(json.dumps(bench_scene(
-        f"buckling_{n}_frame_solve", scenes.buckling(n=n), config)),
+        f"buckling_{n}_frame_solve", "buckling", n, config)),
         flush=True)
 
 

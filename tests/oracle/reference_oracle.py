@@ -538,8 +538,34 @@ def index_pyramid(vel_kinds):
 # getCenterStressFaces cpp:1910-1963) and control volumes (cpp:1965-2057).
 # ---------------------------------------------------------------------------
 
-def edge_stress_row(edge, level, axis, vel_idx, labels, solid_vel, dx, use_enhanced):
-    """Returns ([(vel_dof, coeff)], [boundary rhs values])."""
+def _solid_component_at_face(solid_vel, comp_axis, face_axis, face):
+    """MAC component ``comp_axis`` interpolated at the center of a level-0
+    ``face_axis`` face: the clamped 4-sample mean (== world trilinear for
+    aligned MAC grids, the reference's solidVelocity.getField(axis)->getValue
+    at the face-center point, cpp:1898-1901)."""
+    sv = solid_vel[comp_axis]
+    res = tuple(s - (1 if d == comp_axis else 0) for d, s in enumerate(sv.shape))
+
+    def cell_val(cell):
+        c = tuple(min(max(cell[d], 0), res[d] - 1) for d in range(3))
+        lo = list(c)
+        hi = list(c)
+        hi[comp_axis] += 1
+        return 0.5 * (sv[tuple(lo)] + sv[tuple(hi)])
+
+    lo = list(face)
+    lo[face_axis] -= 1
+    return 0.5 * (cell_val(tuple(lo)) + cell_val(tuple(face)))
+
+
+def edge_stress_row(edge, level, axis, vel_idx, labels, solid_vel, dx, use_enhanced,
+                    compat_edge_boundary=False):
+    """Returns ([(vel_dof, coeff)], [boundary rhs values]).
+
+    ``compat_edge_boundary``: replicate the reference's solid-boundary RHS
+    exactly (cpp:1896-1905) — sample the *edge-axis* component of the solid
+    velocity at the face center instead of the face-axis component.
+    """
     levels = len(labels)
     res = labels[level].shape
     dxw = dx * (1 << level)
@@ -616,9 +642,14 @@ def edge_stress_row(edge, level, axis, vel_idx, labels, solid_vel, dx, use_enhan
                     entries.append((pvi, 0.5 * sign / grad_dx[g]))
             elif vi == SOLIDBOUNDARY:
                 assert level == 0
-                # NOTE: reference samples the edge-axis component here
-                # (cpp:1901); we use the face-axis component (see stencils.py).
-                boundary.append(0.5 * sign * solid_vel[f][face] / grad_dx[g])
+                # The reference samples the EDGE-AXIS component at the face
+                # center (cpp:1901); the library default uses the face-axis
+                # component (see stencils.py).  Both transcribed here.
+                if compat_edge_boundary:
+                    sv = _solid_component_at_face(solid_vel, axis, f, face)
+                else:
+                    sv = solid_vel[f][face]
+                boundary.append(0.5 * sign * sv / grad_dx[g])
     return entries, boundary
 
 
@@ -714,7 +745,8 @@ def face_center_pos(face, level, axis):
 # ---------------------------------------------------------------------------
 
 def build_rows_data(labels, vel_idx, edge_idx, center_idx, edge_w0, center_w0,
-                    viscosity, solid_vel, dt, dx, use_enhanced):
+                    viscosity, solid_vel, dt, dx, use_enhanced,
+                    compat_edge_boundary=False):
     """Per-stress-DOF stencil rows + weights, keyed by (level, pos, axis)."""
     levels = len(labels)
     edge_rows, center_rows = {}, {}
@@ -723,7 +755,8 @@ def build_rows_data(labels, vel_idx, edge_idx, center_idx, edge_w0, center_w0,
             grid = edge_idx[level][axis]
             for e in zip(*np.nonzero(grid >= 0)):
                 entries, bnd = edge_stress_row(
-                    e, level, axis, vel_idx, labels, solid_vel, dx, use_enhanced
+                    e, level, axis, vel_idx, labels, solid_vel, dx, use_enhanced,
+                    compat_edge_boundary=compat_edge_boundary,
                 )
                 vol = edge_volume(e, level, axis, vel_idx, labels)
                 if level == 0:

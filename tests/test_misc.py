@@ -117,26 +117,43 @@ def test_flip_demo_loop_runs():
 
 
 def test_compat_edge_boundary_and_dtype():
-    """compat_edge_boundary_component only perturbs the solid-boundary RHS;
-    config.dtype casts the solve."""
+    """compat_edge_boundary_component only perturbs the solid-boundary RHS
+    (it must actually perturb it when the solid moves — the oracle-parity
+    coverage for both modes is in test_operator's adaptive/adaptive_compat
+    cases); config.dtype casts the solve."""
+    import dataclasses
+
     import jax
 
     from adaptiveviscositysolver_tpu.config import SolverConfig
     from adaptiveviscositysolver_tpu.solver import solve_viscosity
 
     state = scenes.buckling(n=16, dtype=jnp.float64)
+    # a moving solid: uniform sideways floor velocity plus a vertical ramp,
+    # so the edge-axis and face-axis samples genuinely differ
+    rng = np.random.default_rng(7)
+    state = dataclasses.replace(state, solid_velocity=tuple(
+        jnp.asarray(0.5 + 0.3 * a + 0.1 * rng.normal(size=v.shape))
+        for a, v in enumerate(state.solid_velocity)
+    ))
     base = SolverConfig(octree_levels=2, max_iterations=60, tolerance=1e-6)
     compat = SolverConfig(octree_levels=2, max_iterations=60, tolerance=1e-6,
                           compat_edge_boundary_component=True)
     r1 = jax.jit(lambda s, t: solve_viscosity(s, t, base))(state, 0.01)
     r2 = jax.jit(lambda s, t: solve_viscosity(s, t, compat))(state, 0.01)
-    # zero solid velocity in this scene -> identical results either way
+    d = max(float(jnp.max(jnp.abs(r1.velocity[a] - r2.velocity[a])))
+            for a in range(3))
+    assert d > 1e-9, "compat flag changed nothing despite a moving solid"
     for a in range(3):
-        np.testing.assert_allclose(np.asarray(r1.velocity[a]),
-                                   np.asarray(r2.velocity[a]), atol=1e-12)
+        assert np.isfinite(np.asarray(r2.velocity[a])).all()
+    # dtype plumbing: the cast solve stays within fp32-CG truncation of the
+    # fp64 answer.  Tolerances past ~1e-4 make plain fp32 CG *worse* here
+    # (stagnation noise accumulates; measured 0.021 max diff at 1e-6 vs
+    # 0.006 at 1e-4) — recovering full precision is what
+    # use_iterative_refinement is for (tests/test_refinement.py).
     f32cfg = SolverConfig(octree_levels=2, max_iterations=60, tolerance=1e-4,
                           dtype=jnp.float32)
     r3 = jax.jit(lambda s, t: solve_viscosity(s, t, f32cfg))(state, 0.01)
     assert r3.velocity[0].dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(r3.velocity[0]),
-                               np.asarray(r1.velocity[0]), atol=5e-3)
+                               np.asarray(r1.velocity[0]), atol=1e-2)

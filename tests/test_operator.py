@@ -21,7 +21,8 @@ from adaptiveviscositysolver_tpu.config import SolverConfig
 from tests.oracle import reference_oracle as oracle
 
 
-def build_case(n=16, levels=3, with_solid=True, uniform=False, enhanced=True, seed=0):
+def build_case(n=16, levels=3, with_solid=True, uniform=False, enhanced=True,
+               seed=0, solid_weights=False, compat=False):
     rng = np.random.default_rng(seed)
     dx = 1.0 / n
     x = (np.arange(n) + 0.5) * dx
@@ -37,11 +38,12 @@ def build_case(n=16, levels=3, with_solid=True, uniform=False, enhanced=True, se
     density = 1.0 + 0.3 * Z
     dt = 0.01
     extrap = 0.5 * dx
-    cfg = SolverConfig(octree_levels=levels, use_enhanced_gradients=enhanced)
-
+    cfg = SolverConfig(octree_levels=1 if uniform else levels,
+                       use_enhanced_gradients=enhanced,
+                       apply_solid_weights=solid_weights,
+                       compat_edge_boundary_component=compat)
     if uniform:
         levels = 1
-        cfg = SolverConfig(octree_levels=1, use_enhanced_gradients=enhanced)
 
     @jax.jit
     def topo(liquid, solid, viscosity, density):
@@ -49,8 +51,8 @@ def build_case(n=16, levels=3, with_solid=True, uniform=False, enhanced=True, se
         if uniform:
             mask = jnp.zeros_like(mask)
         labels = octree.build_octree(mask, levels)
-        cw, ew = fields.integration_weights(liquid, solid, 3, extrap, False)
-        fw = fields.face_weights(liquid, solid, 3, extrap, False)
+        cw, ew = fields.integration_weights(liquid, solid, 3, extrap, solid_weights)
+        fw = fields.face_weights(liquid, solid, 3, extrap, solid_weights)
         vel_kinds = classify.classify_octree_velocity(labels, cw, ew, solid, extrap)
         edge_kinds = classify.classify_edge_stress(labels, ew)
         center_kinds = classify.classify_center_stress(labels, cw)
@@ -87,6 +89,7 @@ def oracle_system(case):
         case["labels"], vel_idx, edge_idx, center_flat,
         case["ew"], case["cw"], case["viscosity"], case["solid_vel"],
         case["dt"], case["dx"], case["cfg"].use_enhanced_gradients,
+        compat_edge_boundary=case["cfg"].compat_edge_boundary_component,
     )
     D, W, b = oracle.build_D_W_b(edge_rows, center_rows, n_vel)
     mass = oracle.build_mass(case["labels"], vel_idx, case["fw"], case["density"], n_vel)
@@ -143,6 +146,12 @@ CASES = {
     "adaptive": dict(),
     "adaptive_noenh": dict(enhanced=False),
     "adaptive_nosolid": dict(with_solid=False),
+    # setScaleDivideThreshold solid-weight rescale meets the assembled
+    # system (cpp:728-790)
+    "adaptive_solidw": dict(solid_weights=True),
+    # the reference's cpp:1901 edge-axis solid-boundary RHS, vs an oracle
+    # transcribing the same quirk (solid_vel is nonzero in these fixtures)
+    "adaptive_compat": dict(compat=True),
 }
 
 
@@ -231,6 +240,32 @@ def test_export_sparse_system_matches_oracle(setup):
     max_err = np.abs(diff.data).max() if diff.nnz else 0.0
     assert max_err < 1e-9, max_err
     np.testing.assert_allclose(rhs, osys["rhs"], rtol=1e-9, atol=1e-10)
+
+
+def test_compat_edge_boundary_rhs_differs():
+    """Guard against the compat fixture passing vacuously: with a nonzero
+    solid velocity the cpp:1901 edge-axis sampling must actually change the
+    boundary RHS (and both modes are covered against their own oracle via
+    the adaptive / adaptive_compat cases)."""
+    case = build_case()
+    vel_idx, n_vel = oracle.index_pyramid(case["vk"])
+    edge_idx, _ = oracle.index_pyramid(case["ek"])
+    rows = {}
+    for flag in (False, True):
+        b = []
+        for level in range(case["levels"]):
+            for axis in range(3):
+                grid = edge_idx[level][axis]
+                for e in zip(*np.nonzero(grid >= 0)):
+                    _, bnd = oracle.edge_stress_row(
+                        e, level, axis, vel_idx, case["labels"],
+                        case["solid_vel"], case["dx"], True,
+                        compat_edge_boundary=flag,
+                    )
+                    b.append(sum(bnd))
+        rows[flag] = np.asarray(b)
+    assert np.abs(rows[True]).max() > 0
+    assert np.abs(rows[True] - rows[False]).max() > 1e-6
 
 
 def test_fused_apply_equals_materialized(setup):

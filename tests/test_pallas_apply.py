@@ -87,8 +87,10 @@ def test_solver_pallas_impl_matches_default():
     state = state_from_case(case)
     cfg = SolverConfig(octree_levels=case["levels"], tolerance=1e-5,
                        apply_impl="v1-fused")
+    # the test states are float64 (conftest x64): an explicit fp32 cast is
+    # required since the pallas path refuses a silent fp64 downcast
     cfg_pl = SolverConfig(octree_levels=case["levels"], tolerance=1e-5,
-                          apply_impl="pallas")
+                          apply_impl="pallas", dtype=jnp.float32)
     want = jax.jit(lambda s, t: solve_viscosity(s, t, cfg))(state, case["dt"])
     got = jax.jit(lambda s, t: solve_viscosity(s, t, cfg_pl))(state, case["dt"])
     assert float(got.stats.residual) <= 1e-5

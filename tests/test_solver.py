@@ -76,14 +76,18 @@ def test_rigid_rotation_is_exact_solution():
         )
 
 
-@pytest.mark.parametrize("kind", ["uniform", "adaptive"])
+@pytest.mark.parametrize("kind", ["uniform", "adaptive", "solidw"])
 def test_solve_matches_scipy(kind):
     """Full pipeline vs scipy solve of the oracle-assembled system, through
-    writeback (direct faces, solid faces, interpolated faces)."""
-    case = build_case(uniform=(kind == "uniform"))
+    writeback (direct faces, solid faces, interpolated faces).  The
+    ``solidw`` case runs the solid-weight rescale (setScaleDivideThreshold,
+    cpp:728-790) end-to-end through the solver."""
+    case = build_case(uniform=(kind == "uniform"),
+                      solid_weights=(kind == "solidw"))
     osys = oracle_system(case)
     cfg = SolverConfig(octree_levels=case["levels"], tolerance=1e-12,
-                       max_iterations=4000)
+                       max_iterations=4000,
+                       apply_solid_weights=(kind == "solidw"))
     state = state_from_case(case)
     result = jax.jit(lambda s, t: solve_viscosity(s, t, cfg))(state, case["dt"])
     assert float(result.stats.residual) < 1e-10
