@@ -117,6 +117,34 @@ def active_cell_counts(labels: Sequence[jnp.ndarray]) -> jnp.ndarray:
     return jnp.stack([jnp.sum(lab == ACTIVE) for lab in labels])
 
 
+def occupied_bboxes(labels: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+    """Per level, the cell-index bounding box of the occupied (non-INACTIVE)
+    region as a (3, 2) array of [lo, hi) per axis; (0, 0) rows when empty.
+
+    Every velocity/stress DOF and every nonzero stencil input lives on the
+    faces/edges of ACTIVE or UP cells, all of which are non-INACTIVE, so
+    arrays cropped to this box (plus a small margin for neighbor kind reads)
+    carry the complete system — the host-side probe feeds it to the Pallas
+    operator as a static shape so the kernels skip the empty space that
+    dense full-domain canonical boxes would sweep."""
+    out = []
+    for lab in labels:
+        present = lab != INACTIVE
+        rows = []
+        for d in range(3):
+            axes = tuple(a for a in range(3) if a != d)
+            line = jnp.any(present, axis=axes)
+            n = line.shape[0]
+            idx = jnp.arange(n)
+            lo = jnp.min(jnp.where(line, idx, n))
+            hi = jnp.max(jnp.where(line, idx, -1)) + 1
+            empty = ~jnp.any(line)
+            rows.append(jnp.stack([jnp.where(empty, 0, lo),
+                                   jnp.where(empty, 0, hi)]))
+        out.append(jnp.stack(rows))
+    return out
+
+
 def octree_geometry(labels: Sequence[jnp.ndarray], dx: float, origin=(0.0, 0.0, 0.0)):
     """Debug export of ACTIVE cell centers with per-point scale and level —
     the parity analog of outputOctreeGeometry (HDK_OctreeGrid.cpp:245-308).

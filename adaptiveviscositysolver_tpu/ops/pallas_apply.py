@@ -76,13 +76,21 @@ MAX_HALO = 4  # largest slab halo any kernel DMAs (the D^T kernel's kinds)
 
 @dataclasses.dataclass(frozen=True)
 class Canon:
-    """Per-level canonical box: all grid kinds share one padded shape."""
+    """Per-level canonical box: all grid kinds share one padded shape.
 
-    res: Tuple[int, int, int]   # cell resolution of the level
+    ``org`` crops the box to a window of the level (active-region cropping):
+    canonical position ``off`` maps to LOGICAL cell ``org``, so the kernels
+    sweep only the occupied part of the domain.  Each component is even, so
+    logical parity still equals canonical parity and the parity-dependent
+    stencil cases (enhanced siblings / dangling edges) are unchanged.  With
+    ``org=(0,0,0)`` and a full-extent window this is the identity layout."""
+
+    res: Tuple[int, int, int]   # cell resolution of the level (full grid)
     TX: int                     # x tile size (even)
     K: int                      # number of interior x tiles
     PX: int                     # pad tiles on EACH side of x
     shape: Tuple[int, int, int]  # canonical array shape
+    org: Tuple[int, int, int] = (0, 0, 0)  # logical cell origin (all even)
 
     @property
     def off(self) -> Tuple[int, int, int]:
@@ -92,16 +100,38 @@ class Canon:
     def grid(self) -> int:
         return self.K + 2 * self.PX
 
+    @property
+    def cap(self) -> Tuple[int, int, int]:
+        """Logical capacity of the window (rows available per axis)."""
+        return (self.K * self.TX,
+                self.shape[1] - 8,
+                self.shape[2] - 8)
 
-def make_canon(res: Sequence[int], force_tx: int | None = None) -> Canon:
+
+def make_canon(res: Sequence[int], force_tx: int | None = None,
+               bbox: Optional[Tuple[Tuple[int, int], ...]] = None) -> Canon:
     nx, ny, nz = res
-    # TX sets the x-tile; the unrolled kernels' VMEM temporaries scale with
-    # it, and 16 MB VMEM caps big levels at TX=2 (y/z stay whole).
+    if bbox is not None:
+        # active-region crop: ((x0,x1),(y0,y1),(z0,z1)) cell ranges, each
+        # lo even (parity preservation), hi <= res.  The canonical window
+        # covers cells [lo, hi) plus the staggered closing row.
+        org = tuple(int(b[0]) for b in bbox)
+        for d, b in enumerate(bbox):
+            if b[0] % 2 != 0:
+                raise ValueError(f"bbox lo must be even, got {bbox}")
+            if not (0 <= b[0] < b[1] <= res[d]):
+                raise ValueError(f"bad bbox {bbox} for res {res}")
+        nx, ny, nz = (b[1] - b[0] for b in bbox)
+    else:
+        org = (0, 0, 0)
+    # TX sets the x-tile.  Under the 16 MB default scoped-VMEM cap big
+    # levels were locked at TX=2; with the raised cap (VMEM_LIMIT) TX=4
+    # measures fastest at 96^3 (fused 3.19 ms vs 3.75 at TX=2, TX=8 within
+    # noise of TX=4): larger tiles amortize both the halo reread and the
+    # stress-row recompute (rows TX+4 per TX out rows).
     # ``force_tx`` lets tests exercise the small-TX (PX>1) layout on small
     # grids, where TX < MAX_HALO puts DMA starts in the second pad tile.
-    # (coarse levels get TX=4: at TX=8 the 24^3 D^T kernel with the folded
-    # mass/mask is 912 KB over the budget)
-    TX = force_tx or (2 if nx >= 64 else 4)
+    TX = force_tx or 4
     if TX % 2 != 0:
         # the whole parity scheme (even pads, slab starts i*TX-2) relies on
         # TX even; an odd TX would silently corrupt enhanced-sibling /
@@ -117,11 +147,17 @@ def make_canon(res: Sequence[int], force_tx: int | None = None) -> Canon:
     cy = -(-(ny + 1 + 8) // 8) * 8
     cz = -(-(nz + 1 + 8) // 128) * 128
     shape = ((K + 2 * PX) * TX, cy, cz)
-    return Canon(tuple(res), TX, K, PX, shape)
+    return Canon(tuple(res), TX, K, PX, shape, org)
 
 
 def embed(arr: jnp.ndarray, canon: Canon, fill=0) -> jnp.ndarray:
+    """Logical array -> canonical box (cropping to the window when the
+    canon carries an active-region ``org``; values outside the window are
+    sentinels/zeros by construction, see occupied_bboxes)."""
     ox, oy, oz = canon.off
+    gx, gy, gz = canon.org
+    kx, ky, kz = canon.cap
+    arr = arr[gx:gx + kx, gy:gy + ky, gz:gz + kz]
     sx, sy, sz = arr.shape
     cx, cy, cz = canon.shape
     return jnp.pad(
@@ -132,9 +168,19 @@ def embed(arr: jnp.ndarray, canon: Canon, fill=0) -> jnp.ndarray:
 
 
 def crop(arr: jnp.ndarray, canon: Canon, shape: Sequence[int]) -> jnp.ndarray:
+    """Canonical box -> full logical array (zero outside the window)."""
     ox, oy, oz = canon.off
+    gx, gy, gz = canon.org
     sx, sy, sz = shape
-    return arr[ox:ox + sx, oy:oy + sy, oz:oz + sz]
+    wx = min(canon.cap[0], sx - gx)
+    wy = min(canon.cap[1], sy - gy)
+    wz = min(canon.cap[2], sz - gz)
+    w = arr[ox:ox + wx, oy:oy + wy, oz:oz + wz]
+    if (wx, wy, wz) == tuple(shape):
+        return w
+    return jnp.pad(
+        w, ((gx, sx - gx - wx), (gy, sy - gy - wy), (gz, sz - gz - wz))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -728,6 +774,39 @@ def _make_fused_kernel(level: int, levels: int, canon: Canon, dx: float,
                 raw = _rd(v[f"kp{g}"], halo[f"kp{g}"] - 2, R, off, PACK_FILL)
                 return _decode_kind(raw.astype(F32), slot)
 
+            # ---- hoisted kind masks: decode each velocity/parent kind grid
+            # ONCE into 0/1 float planes on an x-EXPANDED stress window
+            # (stress rows +-1), so every term's shifted read is a cheap
+            # x-slice + y/z shift of a mask instead of a fresh slab decode +
+            # compare chain.  Fill is 0 everywhere: out-of-window reads hold
+            # PACK_FILL = OUTSIDE, for which all these masks are 0.
+            W = R + 2
+
+            def dec_w(name):
+                g, slot = smap[name]
+                raw = _rd(v[f"kp{g}"], halo[f"kp{g}"] - 3, W, (0, 0, 0),
+                          PACK_FILL)
+                return _decode_kind(raw.astype(F32), slot)
+
+            FLU, UNA, NOUT = {}, {}, {}
+            PFLU, PUNA = {}, {}
+            for f in range(3):
+                dw = dec_w(f"vk{f}")
+                FLU[f] = _eqf(dw, FLUID)
+                UNA[f] = _eqf(dw, UNASSIGNED)
+                if enhanced:
+                    NOUT[f] = (1.0 - _eqf(dw, OUTSIDE)
+                               - _eqf(dw, SOLIDBOUNDARY))
+                if has_parent:
+                    dp = dec_w(f"pk{f}")
+                    PFLU[f] = _eqf(dp, FLUID)
+                    PUNA[f] = _eqf(dp, UNASSIGNED)
+
+            def m_at(M, off=(0, 0, 0)):
+                w = M[1 + off[0]: 1 + off[0] + R]
+                w = _sh_yz(w, 1, off[1], 0.0)
+                return _sh_yz(w, 2, off[2], 0.0)
+
             def val(name, off=(0, 0, 0)):
                 return _rd(v[name], halo[name] - 2, R, off, 0.0)
 
@@ -775,27 +854,33 @@ def _make_fused_kernel(level: int, levels: int, canon: Canon, dx: float,
                 planes = {}
                 for f in f_axes:
                     g = 3 - a - f
-                    k0 = kind(f"vk{f}", _unit(g, -1))
-                    k1 = kind(f"vk{f}")
-                    una0, una1 = _eqf(k0, UNASSIGNED), _eqf(k1, UNASSIGNED)
-                    binv = 1.0 / (dxw * (1.0 + 0.5 * (una0 + una1)))
+                    og = _unit(g, -1)
+                    una0, una1 = m_at(UNA[f], og), m_at(UNA[f])
+                    # binv = 1/(dxw*(1+0.5*(una0+una1))) written as a
+                    # polynomial in the 0/1 masks (s=0 -> 1, s=1 -> 2/3,
+                    # s=2 -> 1/2) — removes a vector divide per (a, f)
+                    binv = (1.0 / dxw) * (
+                        1.0 - (una0 + una1) * (1.0 / 3.0)
+                        + (una0 * una1) * (1.0 / 6.0)
+                    )
                     if enhanced:
                         is_trans = una0 + una1 - una0 * una1
-                        not_out = (
-                            (1.0 - _eqf(k0, OUTSIDE) - _eqf(k0, SOLIDBOUNDARY))
-                            * (1.0 - _eqf(k1, OUTSIDE) - _eqf(k1, SOLIDBOUNDARY))
-                        )
-                        enh = is_trans * not_out
+                        enh = is_trans * m_at(NOUT[f], og) * m_at(NOUT[f])
                     for d in (0, 1):
                         sign = -1.0 if d == 0 else 1.0
-                        k, una = (k0, una0) if d == 0 else (k1, una1)
+                        act = (m_at(FLU[f], og) if d == 0
+                               else m_at(FLU[f])) * active_edge
+                        una = una0 if d == 0 else una1
                         base = sign * binv
-                        act = _eqf(k, FLUID) * active_edge
                         p = {"q": act * base,
                              "un": una * active_edge * base}
                         if enhanced:
                             p["e"] = act * enh * base
                         planes[(f, d)] = p
+
+                par_even_a = _parity_even_f(shape, a, pbase[a])
+                dang_f = {f: 1.0 - _parity_even_f(shape, f, pbase[f])
+                          for f in f_axes} if has_parent else {}
 
                 def edge_terms():
                     """(coeff, off, dest, value_fn) per term — cheap combos
@@ -812,7 +897,7 @@ def _make_fused_kernel(level: int, levels: int, canon: Canon, dx: float,
                             yield (c1, off, ("same", f),
                                    lambda off=off, f=f: val(f"u{f}", off))
                             if enhanced:
-                                par_even = _parity_even_f(shape, a, pbase[a])
+                                par_even = par_even_a
                                 for par, so in ((par_even, 1),
                                                 (1.0 - par_even, -1)):
                                     o2 = _add(off, _unit(a, so))
@@ -820,33 +905,36 @@ def _make_fused_kernel(level: int, levels: int, canon: Canon, dx: float,
                                            ("same", f),
                                            lambda o2=o2, f=f: val(f"u{f}", o2))
                             if has_parent:
-                                dang = 1.0 - _parity_even_f(shape, f, pbase[f])
+                                dang = dang_f[f]
                                 yield (0.5 * p["un"] * (1.0 - dang), off,
                                        ("parent", f),
                                        lambda off=off, f=f: val(f"up{f}", off))
                                 for so in (-1, 1):
                                     offo = _add(off, _unit(f, so))
-                                    kp = kind(f"pk{f}", offo)
                                     c4 = (p["un"] * dang * 0.25
-                                          * _eqf(kp, FLUID))
+                                          * m_at(PFLU[f], offo))
                                     yield (c4, offo, ("parent", f),
                                            lambda offo=offo, f=f:
                                            val(f"up{f}", offo))
                                     c5 = (p["un"] * dang * 0.0625
-                                          * _eqf(kp, UNASSIGNED))
+                                          * m_at(PUNA[f], offo))
                                     yield (c5, offo, ("blocksum", f),
                                            lambda offo=offo, f=f:
                                            t5_blocksum(f, offo))
 
-                # ---- tau gather, then immediate D^T scatter (wtau stays
-                # in VMEM; identical expressions let the compiler CSE the
-                # coefficients across the two passes)
+                # ---- tau gather, then immediate D^T scatter.  Materialize
+                # the term list ONCE: each coefficient plane (incl. the
+                # T4/T5 parent-kind decodes and parity iotas) is computed a
+                # single time and reused by both passes — re-running the
+                # generator would rebuild them all, which Mosaic does not
+                # CSE across the passes (measured ~25% slower).
+                terms = list(edge_terms())
                 tau = None
-                for c, off, dest, value in edge_terms():
+                for c, off, dest, value in terms:
                     contrib = c * value()
                     tau = contrib if tau is None else tau + contrib
                 wtau = val(f"we{a}") * tau
-                for c, off, dest, value in edge_terms():
+                for c, off, dest, value in terms:
                     mode, f = dest
                     prod = c * wtau
                     if mode == "same":
@@ -866,12 +954,12 @@ def _make_fused_kernel(level: int, levels: int, canon: Canon, dx: float,
                 for d in (0, 1):
                     off = (0, 0, 0) if d == 0 else _unit(axis, 1)
                     sign = -1.0 if d == 0 else 1.0
-                    k = kind(f"vk{axis}", off)
-                    c1 = _eqf(k, FLUID) * act_c * (sign / dxw)
+                    c1 = m_at(FLU[axis], off) * act_c * (sign / dxw)
                     cterms.append((c1, off, "same",
                                    lambda off=off: val(f"u{axis}", off)))
                     if has_child:
-                        c2 = _eqf(k, UNASSIGNED) * act_c * (0.25 * sign / dxw)
+                        c2 = (m_at(UNA[axis], off) * act_c
+                              * (0.25 * sign / dxw))
                         cterms.append((c2, off, "child",
                                        lambda off=off: val(f"cs{axis}", off)))
                 tau = None
@@ -890,10 +978,9 @@ def _make_fused_kernel(level: int, levels: int, canon: Canon, dx: float,
             # kernel: out_f = [vk_f == FLUID] * (sum + m_f u_f); zp/zc stay
             # unmasked — the caller masks at the cross-level add)
             for f in range(3):
-                g, slot = smap[f"vk{f}"]
-                raw = _rd(v[f"kp{g}"], halo[f"kp{g}"], TX, (0, 0, 0),
-                          PACK_FILL)
-                mask = _eqf(_decode_kind(raw.astype(F32), slot), FLUID)
+                # FLU is on the x-expanded stress window: out rows start at
+                # expanded row 3 (= stress row 2 = slab row halo - 2 + 2)
+                mask = FLU[f][3:3 + TX]
                 mu = (v[f"u{f}"][halo[f"u{f}"]:halo[f"u{f}"] + TX]
                       * v[f"m{f}"][:])
                 base = acc[f"out{f}"]
@@ -974,13 +1061,19 @@ def build_frame_data(
     mass: UField,
     res_per_level,
     force_tx: int | None = None,
+    bboxes=None,
 ):
     """Embed the per-frame loop-invariant arrays into canonical boxes.
 
     Kind grids go in bit-packed (3 grids per int8, 2-bit codes = -kind) —
-    see :func:`_pack_groups`."""
+    see :func:`_pack_groups`.  ``bboxes`` (per level, from the host-side
+    occupancy probe) crops each canonical box to the occupied region."""
     levels = len(res_per_level)
-    canons = [make_canon(res_per_level[l], force_tx) for l in range(levels)]
+    canons = [
+        make_canon(res_per_level[l], force_tx,
+                   None if bboxes is None else bboxes[l])
+        for l in range(levels)
+    ]
     data: Dict[str, jnp.ndarray] = {}
     for l in range(levels):
         c = canons[l]
@@ -1083,14 +1176,17 @@ def make_pallas_operator(
                     return extras[f"{name}_{l}"]
                 return frame[f"{name}_{l}"]
 
+            # the kernel body depends on the canonical SHAPE only, not the
+            # crop origin: normalize org so bbox shifts reuse compiled calls
+            kcanon = dataclasses.replace(canons[l], org=(0, 0, 0))
             if fused:
                 f_call, fin, dout = _compiled_fused_call(
-                    l, levels, canons[l], dx, enhanced, interpret
+                    l, levels, kcanon, dx, enhanced, interpret
                 )
                 res = f_call(*[arg_for(n) for n, _, _ in fin])
             else:
                 (tau_call, tin, _), (dt_call, din, dout) = _compiled_level_calls(
-                    l, levels, canons[l], dx, enhanced, interpret
+                    l, levels, kcanon, dx, enhanced, interpret
                 )
                 wts = tau_call(*[arg_for(n) for n, _, _ in tin])
                 dt_args = []

@@ -96,6 +96,7 @@ def solve_viscosity(
     face_weights: Optional[Sequence[jnp.ndarray]] = None,
     mesh=None,
     mesh_axis: str = "x",
+    pallas_bboxes=None,
 ) -> SolveResult:
     """One viscosity solve (the reference's per-frame solveGasSubclass).
 
@@ -110,6 +111,10 @@ def solve_viscosity(
     is single-device (the manual-DMA kernels are not GSPMD-partitionable);
     if the grid does not admit the 1D decomposition the solve falls back
     to the (GSPMD-shardable) whole-array operator.
+
+    ``pallas_bboxes``: per-level static crop windows (from
+    :func:`probe_topology`) shrinking the Pallas canonical boxes to the
+    occupied region; ``make_solver`` supplies them automatically.
     """
     _validate_state(state)
     if config.dtype is not None:
@@ -129,6 +134,11 @@ def solve_viscosity(
     liquid = state.liquid_sdf
     solid = state.solid_sdf
     levels = capped_levels(liquid.shape, config.octree_levels)
+    if pallas_bboxes is not None and len(pallas_bboxes) != levels:
+        raise ValueError(
+            f"pallas_bboxes has {len(pallas_bboxes)} levels, solve has "
+            f"{levels}; pass the level count probe_topology returned"
+        )
 
     with jax.named_scope("compute_surface_weights"):
         center_w, edge_w = fields.integration_weights(
@@ -244,7 +254,7 @@ def solve_viscosity(
 
             frame, canons = pallas_apply.build_frame_data(
                 labels, vel_kinds, edge_kinds, center_kinds, blocks, mass,
-                res_per_level,
+                res_per_level, bboxes=pallas_bboxes,
             )
             apply_A, embed_tree, crop_tree = pallas_apply.make_pallas_operator(
                 frame, canons, active, res_per_level, dx,
@@ -359,9 +369,52 @@ def _levels_probe(shape, levels, dx, extrapolation, fine_bandwidth):
             liquid, solid, dx, extrapolation, 3.0 * dx, inner_band
         )
         labels = octree.build_octree(mask, levels)
-        return octree.active_cell_counts(labels)
+        return octree.active_cell_counts(labels), octree.occupied_bboxes(labels)
 
     return counts
+
+
+def _tight_windows(raw, res_per_level, margin=2):
+    """Per-level crop windows from the probe's occupied boxes: ``margin``
+    covers neighbor kind reads around boundary DOFs, and origins are
+    rounded down to even so canonical parity equals logical parity."""
+    out = []
+    for bb, res in zip(raw, res_per_level):
+        rows = []
+        for d in range(3):
+            lo, hi = int(bb[d, 0]), int(bb[d, 1])
+            if hi <= lo:            # empty level (kept only below the trim)
+                lo, hi = 0, min(2, res[d])
+            lo = max(0, lo - margin)
+            lo -= lo % 2
+            hi = min(res[d], hi + margin)
+            rows.append((lo, hi))
+        out.append(tuple(rows))
+    return tuple(out)
+
+
+def _merge_windows(cached, tight, res_per_level, grow=8):
+    """Hysteresis for the per-solver window cache: keep the compiled window
+    while the fluid stays inside it; on violation, extend the violated side
+    by ``grow`` cells (preempting further motion in that direction) so a
+    moving fluid recompiles in coarse steps, not every frame.  Windows never
+    shrink within one solver closure — the cost of a stale-large window is
+    swept empty space, the cost of flapping is a recompile."""
+    if cached is None:
+        return tight
+    out = []
+    for cw, tw, res in zip(cached, tight, res_per_level):
+        rows = []
+        for d in range(3):
+            lo, hi = cw[d]
+            if tw[d][0] < lo:
+                lo = max(0, tw[d][0] - grow)
+                lo -= lo % 2
+            if tw[d][1] > hi:
+                hi = min(res[d], tw[d][1] + grow)
+            rows.append((lo, hi))
+        out.append(tuple(rows))
+    return tuple(out)
 
 
 def effective_levels(state: FluidState, config: SolverConfig) -> int:
@@ -375,15 +428,35 @@ def effective_levels(state: FluidState, config: SolverConfig) -> int:
     small jitted program (mask + octree build + per-level counts), evaluated
     eagerly so the level count is a static (trace-time) quantity.
     """
+    return probe_topology(state, config)[0]
+
+
+def probe_topology(state: FluidState, config: SolverConfig):
+    """Host-side topology probe: (effective level count, per-level static
+    crop windows for the Pallas operator).
+
+    One small jitted program (mask + octree + counts + occupied boxes); the
+    results are trace-time constants that specialize the solve pipeline —
+    trimmed empty top levels skip whole kernel launches, and the crop
+    windows shrink every canonical box to the occupied region (the dense
+    full-domain box sweeps mostly empty space when the fluid is small,
+    e.g. the beam scene occupies ~7% of its domain)."""
     levels = capped_levels(state.liquid_sdf.shape, config.octree_levels)
-    counts = _levels_probe(
+    counts, raw_bboxes = _levels_probe(
         tuple(state.liquid_sdf.shape), levels, state.dx,
         config.extrapolation * state.dx, config.fine_bandwidth,
     )(state.liquid_sdf, state.solid_sdf)
     counts = [int(c) for c in counts]
     while levels > 1 and counts[levels - 1] == 0:
         levels -= 1
-    return levels
+    shape = state.liquid_sdf.shape
+    res_per_level = [tuple(s >> l for s in shape) for l in range(levels)]
+    import numpy as np
+
+    bboxes = _tight_windows(
+        [np.asarray(b) for b in raw_bboxes[:levels]], res_per_level
+    )
+    return levels, bboxes
 
 
 def make_solver(config: SolverConfig = SolverConfig(),
@@ -392,23 +465,35 @@ def make_solver(config: SolverConfig = SolverConfig(),
 
     ``auto_trim_levels`` (default on, matching the reference's
     HDK_OctreeGrid.cpp:198-211 behavior) probes the octree occupancy per
-    call and dispatches to a pipeline compiled for the trimmed level count —
-    empty top levels cost per-iteration kernel launches otherwise.  One
-    compiled program is cached per distinct level count.
+    call and dispatches to a pipeline specialized on the trimmed level
+    count AND the occupied-region crop windows — empty top levels cost
+    per-iteration kernel launches, and full-domain canonical boxes sweep
+    empty space.  Windows carry hysteresis (grow-on-violation, never
+    shrink) so a slowly moving fluid reuses the compiled program; one
+    program is cached per distinct topology key.
     """
     jitted = {}
+    window_cache = {}
 
     def solve(state: FluidState, dt):
         cfg = config
+        bboxes = None
         if auto_trim_levels:
-            lv = effective_levels(state, config)
+            lv, tight = probe_topology(state, config)
             if lv != config.octree_levels:
                 cfg = dataclasses.replace(config, octree_levels=lv)
-        key = cfg.octree_levels
-        if key not in jitted:
-            jitted[key] = jax.jit(
-                functools.partial(lambda c, s, t: solve_viscosity(s, t, c), cfg)
+            shape = state.liquid_sdf.shape
+            res_per_level = [tuple(s >> l for s in shape) for l in range(lv)]
+            bboxes = _merge_windows(
+                window_cache.get(lv), tight, res_per_level
             )
+            window_cache[lv] = bboxes
+        key = (cfg.octree_levels, bboxes)
+        if key not in jitted:
+            jitted[key] = jax.jit(functools.partial(
+                lambda c, bb, s, t: solve_viscosity(s, t, c, pallas_bboxes=bb),
+                cfg, bboxes,
+            ))
         return jitted[key](state, dt)
 
     return solve

@@ -24,7 +24,7 @@ def _to_f32(tree):
 
 @pytest.mark.parametrize("fused", [True, False], ids=["fused", "split"])
 @pytest.mark.parametrize(
-    "kind", ["adaptive", "uniform", "nosolid", "noenh", "tx2"]
+    "kind", ["adaptive", "uniform", "nosolid", "noenh", "tx2", "bbox"]
 )
 def test_pallas_apply_matches_v1(kind, fused):
     case = build_case(
@@ -38,6 +38,17 @@ def test_pallas_apply_matches_v1(kind, fused):
     apply_v1, _ = operator.make_operator(blocks, mass, active, rpl)
 
     levels = case["levels"]
+    # "bbox" pins active-region cropping: canonical boxes shrunk to the
+    # occupied windows (solver.probe_topology's static crop) must give the
+    # identical operator on every in-window DOF — and there are no
+    # out-of-window DOFs by construction (octree.occupied_bboxes).
+    bboxes = None
+    if kind == "bbox":
+        from adaptiveviscositysolver_tpu import octree
+        from adaptiveviscositysolver_tpu.solver import _tight_windows
+
+        raw = jax.jit(octree.occupied_bboxes)(case["jlabels"])
+        bboxes = _tight_windows([np.asarray(b) for b in raw], rpl)
     # "tx2" pins the big-level layout (TX=2 < MAX_HALO, PX=2): slab DMAs
     # start inside the second pad tile, the configuration that can overrun
     # the buffer if the x padding is miscomputed.
@@ -45,6 +56,7 @@ def test_pallas_apply_matches_v1(kind, fused):
         case["jlabels"], case["jvk"], case["jek"], case["jck"],
         blocks, mass, rpl,
         force_tx=2 if kind == "tx2" else None,
+        bboxes=bboxes,
     )
     apply_pl, embed_tree, crop_tree = pallas_apply.make_pallas_operator(
         frame, canons, active, rpl, case["dx"],
@@ -94,6 +106,42 @@ def test_solver_pallas_impl_matches_default():
     want = jax.jit(lambda s, t: solve_viscosity(s, t, cfg))(state, case["dt"])
     got = jax.jit(lambda s, t: solve_viscosity(s, t, cfg_pl))(state, case["dt"])
     assert float(got.stats.residual) <= 1e-5
+    scale = max(float(jnp.max(jnp.abs(v))) for v in want.velocity)
+    for a in range(3):
+        diff = float(jnp.max(jnp.abs(got.velocity[a] - want.velocity[a])))
+        assert diff / scale < 5e-4, (a, diff, scale)
+
+
+def test_solver_pallas_bbox_solve_matches_v1():
+    """End-to-end active-region cropping: a pallas solve on the
+    probe_topology crop windows (the make_solver fast path on a scene whose
+    fluid occupies a corner of the domain) equals the v1 solve through
+    writeback."""
+    import dataclasses
+
+    from adaptiveviscositysolver_tpu import scenes
+    from adaptiveviscositysolver_tpu.config import SolverConfig
+    from adaptiveviscositysolver_tpu.solver import (
+        probe_topology, solve_viscosity,
+    )
+
+    state = scenes.beam(n=16, dtype=jnp.float32)
+    cfg = SolverConfig(octree_levels=2, tolerance=1e-6, max_iterations=200,
+                       apply_impl="pallas", dtype=jnp.float32)
+    lv, bboxes = probe_topology(state, cfg)
+    assert any(
+        bb != ((0, r), (0, r), (0, r))
+        for bb, r in zip(bboxes, [16 >> l for l in range(lv)])
+    ), "beam fixture should produce a nontrivial crop window"
+    cfg = dataclasses.replace(cfg, octree_levels=lv)
+    cfg_v1 = dataclasses.replace(cfg, apply_impl="v1-fused")
+    dt = 0.01
+
+    want = jax.jit(lambda s, t: solve_viscosity(s, t, cfg_v1))(state, dt)
+    got = jax.jit(
+        lambda s, t: solve_viscosity(s, t, cfg, pallas_bboxes=bboxes)
+    )(state, dt)
+    assert float(got.stats.residual) <= 1e-6
     scale = max(float(jnp.max(jnp.abs(v))) for v in want.velocity)
     for a in range(3):
         diff = float(jnp.max(jnp.abs(got.velocity[a] - want.velocity[a])))
