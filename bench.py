@@ -72,7 +72,7 @@ dt = jnp.float32(1.0 / 24.0)
 
 def run():
     out = solve(state, dt)
-    np.asarray(out.velocity[0]); float(out.stats.residual)
+    float(out.stats.residual)  # scalar force (bulk tunnel fetch would dominate)
 
 t0 = time.perf_counter()
 run()
@@ -119,9 +119,13 @@ def bench_scene(metric, scene_name, n, config, reps=6):
 
     def run_blocking():
         out = solve(state, dt)
-        # force a real device round-trip: block_until_ready may return
-        # early through the remote-device tunnel
-        np.asarray(out.velocity[0])
+        # force completion via a data-dependent SCALAR output: fetching any
+        # output buffer of the jitted program requires the whole execution
+        # (writeback included — same program) to finish, while a scalar
+        # avoids timing the device tunnel's bulk egress (~65 MB/s measured;
+        # a local-PCIe user would pay well under 1 ms for the field).
+        # block_until_ready is NOT used: it can return early through the
+        # tunnel.
         float(out.stats.residual)
         return out
 
@@ -163,12 +167,15 @@ def bench_scene(metric, scene_name, n, config, reps=6):
         guess = restriction.restrict_velocity_pyramid(list(st.velocity), levels)
         guess = {k: jnp.where(vk[k[0]][k[1]] == classify.FLUID, guess[k], 0.0)
                  for k in mass}
-        return blocks, mass, vk, guess
+        # checksum scalar: forcing it completes the whole build program
+        # without fetching a bulk array through the slow tunnel
+        chk = sum(jnp.sum(m) for m in mass.values())
+        return blocks, mass, vk, guess, chk
 
     def run_build():
         parts = build_parts(state)
-        np.asarray(jax.tree_util.tree_leaves(parts)[0])
-        return parts
+        float(parts[-1])
+        return parts[:-1]
 
     run_build()  # compile
     build_best = float("inf")
@@ -183,7 +190,7 @@ def bench_scene(metric, scene_name, n, config, reps=6):
     try:
         import scipy.sparse.linalg as spla
 
-        blocks, mass, vk, guess = jax.device_get(build_parts(state))
+        blocks, mass, vk, guess, _ = jax.device_get(build_parts(state))
         A, rhs, vel_idx, ndof = export.export_sparse_system(
             blocks, mass, vk, guess,
             [tuple(int(d) >> l for d in state.liquid_sdf.shape)

@@ -79,7 +79,9 @@ def main():
                 nxt = {k: 0.01 * v[k] if k in v else c[k] for k in c}
                 return nxt, None
             v, _ = lax.scan(body, u, None, length=K)
-            return v
+            # scalar output: forcing a bulk array through the tunnel costs
+            # ~35 ms RTT + ~65 MB/s, which would pollute the timing
+            return jnp.sum(v[(0, 0)])
         return rep
 
     # --- full apply
@@ -188,15 +190,29 @@ def main():
 
     dma = scan_of(dma_only)
 
+    # --- scan-loop floors: how much of every number above is fixed
+    # per-iteration overhead (dispatch / carry traffic), not kernel work?
+    def tiny_only(u, frame):
+        k = (levels - 1, 0)
+        return {k: u[k] + 1.0}
+
+    def carry_all(u, frame):
+        return dict(u)
+
+    floor_tiny = scan_of(tiny_only)
+    floor_all = scan_of(carry_all)
+
     variants = [("full apply", full)]
     variants += [(f"level {l} kernel only", per_level[l]) for l in range(levels)]
     variants += [("level 0 DMA floor", dma)]
+    variants += [("scan floor (1 tiny op)", floor_tiny),
+                 ("scan floor (carry x0.01)", floor_all)]
 
     # warm-up / compile
     for name, fn in variants:
         t0 = time.perf_counter()
         out = fn(u0c, frame)
-        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        float(jax.tree_util.tree_leaves(out)[0])
         print(f"compiled {name}: {time.perf_counter() - t0:.1f}s", flush=True)
 
     best = {name: float("inf") for name, _ in variants}
@@ -204,7 +220,7 @@ def main():
         for name, fn in variants:
             t0 = time.perf_counter()
             out = fn(u0c, frame)
-            np.asarray(jax.tree_util.tree_leaves(out)[0])
+            float(jax.tree_util.tree_leaves(out)[0])
             best[name] = min(best[name], time.perf_counter() - t0)
     for name, _ in variants:
         print(f"{name:24s}: {best[name] / K * 1e3:8.3f} ms/apply", flush=True)

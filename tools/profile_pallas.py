@@ -2,6 +2,12 @@
 tau/D^T pair) vs the v1 XLA apply on device.
 
     python tools/profile_pallas.py [n] [K] [force_tx]
+
+Timing is forced through a device-side SCALAR reduction of the scan result:
+fetching a bulk array through the device tunnel runs at ~65 MB/s and a
+forced round trip costs ~35 ms, which at K=100 inflated every historical
+ms/apply figure by ~1.3 ms.  The remaining fixed cost is one scalar RTT
+(~35 ms / K).
 """
 
 import sys
@@ -16,12 +22,12 @@ from jax import lax
 
 def timed(label, fn, reps=3):
     out = fn()
-    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    float(jax.tree_util.tree_leaves(out)[0])
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         out = fn()
-        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        float(jax.tree_util.tree_leaves(out)[0])
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -87,7 +93,9 @@ def main():
                 v = apply_pl(c)
                 return {k: 0.01 * x for k, x in v.items()}, None
             v, _ = lax.scan(body, u, None, length=K)
-            return v
+            # scalar output: the scan body still runs in full (loop-carried
+            # deps), but timing forces only a 4-byte fetch
+            return jnp.sum(v[(0, 0)])
         return rep_pl
 
     rep_fused, rep_split = make_rep(apply_fused), make_rep(apply_split)
@@ -107,7 +115,7 @@ def main():
             v = apply_v1(c)
             return {k: 0.01 * x for k, x in v.items()}, None
         v, _ = lax.scan(body, u, None, length=K)
-        return v
+        return jnp.sum(v[(0, 0)])
 
     @jax.jit
     def one_v1(u, blocks, mass):
