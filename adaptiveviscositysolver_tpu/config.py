@@ -53,6 +53,15 @@ class SolverConfig:
     tolerance: float = 1e-3
     max_iterations: int = 2500
 
+    # Preconditioner strength: 1 = Jacobi (the reference's Eigen default,
+    # cpp:611-631); k > 1 = fixed degree-k Chebyshev polynomial in the
+    # Jacobi-scaled operator (operator.make_chebyshev_precond) — same
+    # true-residual stopping rule, ~k-fold fewer synchronized CG iterations
+    # at k extra matvecs each, which amortizes the per-iteration launch/dot
+    # overhead that dominates small solves.  Applies to the single-device
+    # flat CG paths; ignored under iterative refinement.
+    cheb_degree: int = 1
+
     # Precision of the solve (HDK_Utilities.h:25-37): None inherits the
     # input fields' dtype (fp32 from the scene builders — the TPU-native
     # choice; fp64 in the oracle parity tests); set explicitly to force a
@@ -87,6 +96,8 @@ class SolverConfig:
             raise ValueError("octree_levels must be >= 1")
         if self.num_supersamples < 1:
             raise ValueError("num_supersamples must be >= 1")
+        if self.cheb_degree < 1:
+            raise ValueError("cheb_degree must be >= 1")
         allowed = {"auto", "pallas", "v1", "v1-fused"}
         if self.apply_impl not in allowed:
             raise ValueError(f"apply_impl must be one of {sorted(allowed)}")

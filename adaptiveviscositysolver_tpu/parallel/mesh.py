@@ -31,10 +31,19 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "x") -> Mesh:
 
 
 def _face_spec(mesh: Mesh, face_axis: int, axis_name: str):
-    """Every grid — cell or staggered — shards on the SAME leading spatial
-    dim, so stencils mixing cell and face arrays never force a reshard
-    (GSPMD pads the +1 staggered remainder)."""
-    return NamedSharding(mesh, P(axis_name, None, None))
+    """INPUT sharding for staggered (+1) face grids: their leading extent
+    ``n+1`` is indivisible by the mesh, and JAX rejects uneven shardings at
+    every API boundary (``device_put`` and ``jit`` in/out shardings both
+    validate divisibility — GSPMD's internal padded uneven layouts are not
+    expressible there).  So staggered inputs arrive split along their
+    first non-staggered dim; this only seeds GSPMD's propagation — the
+    partitioner re-lays-out the interior as it sees fit, and the explicit
+    shard_map fast path re-blocks every array itself (block_x,
+    parallel/shard_pallas.py), so the boundary spec costs one input
+    reshard at most."""
+    dims = [None, None, None]
+    dims[1 if face_axis == 0 else 0] = axis_name
+    return NamedSharding(mesh, P(*dims))
 
 
 def state_sharding(mesh: Mesh, axis_name: str = "x"):

@@ -322,6 +322,7 @@ def sharded_pallas_pcg(
     res_per_level, dx: float, enhanced: bool,
     tolerance: float, max_iterations: int,
     interpret: bool = False,
+    cheb_degree: int = 1,
 ):
     """Distributed Jacobi-PCG with the fused Pallas matvec, over a 1D mesh.
 
@@ -426,8 +427,14 @@ def sharded_pallas_pcg(
         invd = 1.0 / pack(diag_c)
         b_norm2 = dot(b, b)
         threshold = tolerance * tolerance * b_norm2
+        precond = None
+        if cheb_degree > 1:
+            lam = operator.estimate_lambda_max(A, invd, b, dot=dot)
+            precond = operator.make_chebyshev_precond(A, invd, lam,
+                                                      cheb_degree)
         x, iters, rr = operator._flat_pcg(
-            A, b, pack(guess_c), invd, threshold, max_iterations, dot=dot)
+            A, b, pack(guess_c), invd, threshold, max_iterations, dot=dot,
+            precond=precond)
         rel = jnp.sqrt(rr / jnp.maximum(b_norm2, 1e-300))
         sol = unpack(x)
         sol_l = {

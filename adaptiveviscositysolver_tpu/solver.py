@@ -55,6 +55,12 @@ class SolveStats:
     octree_dofs: jnp.ndarray
     regular_dofs: jnp.ndarray
     active_cells: jnp.ndarray  # per level
+    # f32 pack [iterations, residual, octree_dofs, regular_dofs,
+    # counts..., bboxes...] of THIS frame's full-height octree occupancy —
+    # produced when solve_viscosity gets ``probe_levels`` so make_solver's
+    # async-probe mode can fetch everything the host needs (stats + next
+    # frame's crop windows) in ONE device round trip.  None otherwise.
+    topology_probe: Optional[jnp.ndarray] = None
 
 
 @jax.tree_util.register_dataclass
@@ -97,6 +103,7 @@ def solve_viscosity(
     mesh=None,
     mesh_axis: str = "x",
     pallas_bboxes=None,
+    probe_levels: Optional[int] = None,
 ) -> SolveResult:
     """One viscosity solve (the reference's per-frame solveGasSubclass).
 
@@ -115,6 +122,12 @@ def solve_viscosity(
     ``pallas_bboxes``: per-level static crop windows (from
     :func:`probe_topology`) shrinking the Pallas canonical boxes to the
     occupied region; ``make_solver`` supplies them automatically.
+
+    ``probe_levels``: when set (the UNtrimmed configured level count),
+    the solve additionally computes this frame's full-height octree
+    occupancy (reusing the refinement mask) and packs it with the solve
+    counters into ``stats.topology_probe`` — one fetchable array carrying
+    everything ``make_solver``'s async-probe mode needs.
     """
     _validate_state(state)
     if config.dtype is not None:
@@ -323,6 +336,7 @@ def solve_viscosity(
                 res_per_level, dx, config.use_enhanced_gradients,
                 config.tolerance, config.max_iterations,
                 interpret=jax.default_backend() != "tpu",
+                cheb_degree=config.cheb_degree,
             )
             solution = {k: v.astype(sdtype) for k, v in solution.items()}
         elif impl == "pallas":
@@ -330,11 +344,13 @@ def solve_viscosity(
                 apply_A, embed_tree(rhs), embed_tree(guess),
                 embed_tree(diag, fill=1.0),
                 config.tolerance, config.max_iterations,
+                cheb_degree=config.cheb_degree,
             )
             solution = crop_tree(sol_c)
         else:
             solution, iters, rel = operator.pcg_flat(
-                apply_A, rhs, guess, diag, config.tolerance, config.max_iterations
+                apply_A, rhs, guess, diag, config.tolerance,
+                config.max_iterations, cheb_degree=config.cheb_degree,
             )
 
     with jax.named_scope("interpolate_writeback"):
@@ -348,12 +364,35 @@ def solve_viscosity(
             state.solid_velocity, levels, interpolated,
         )
 
+    probe_pack = None
+    if probe_levels is not None:
+        with jax.named_scope("topology_probe"):
+            full = capped_levels(liquid.shape, probe_levels)
+            plabels = labels if full == levels else octree.build_octree(
+                mask, full)
+            f32 = jnp.float32
+            probe_pack = jnp.concatenate([
+                jnp.stack([
+                    iters.astype(f32) if hasattr(iters, "astype")
+                    else jnp.asarray(iters, f32),
+                    jnp.asarray(rel, f32),
+                ]),
+                jnp.asarray(sum(jnp.sum(m) for m in active.values()), f32)[None],
+                jnp.asarray(sum(jnp.sum(k == classify.FLUID)
+                                for k in regular_kinds), f32)[None],
+                octree.active_cell_counts(plabels).astype(f32),
+                jnp.stack([b.astype(f32)
+                           for b in octree.occupied_bboxes(plabels)]
+                          ).reshape(-1),
+            ])
+
     stats = SolveStats(
         iterations=iters,
         residual=rel,
         octree_dofs=sum(jnp.sum(m) for m in active.values()),
         regular_dofs=sum(jnp.sum(k == classify.FLUID) for k in regular_kinds),
         active_cells=octree.active_cell_counts(labels),
+        topology_probe=probe_pack,
     )
     return SolveResult(velocity=tuple(new_velocity), stats=stats)
 
@@ -458,16 +497,44 @@ def probe_topology(state: FluidState, config: SolverConfig):
     )(state.liquid_sdf, state.solid_sdf))
     counts = packed[:levels]
     raw_bboxes = packed[levels:].reshape(levels, 3, 2)
+    return _trim_and_window(counts, raw_bboxes, state.liquid_sdf.shape)
+
+
+def _trim_and_window(counts, raw_bboxes, shape):
+    """Shared host-side probe decode: trailing empty levels dropped, then
+    per-level crop windows from the occupied boxes."""
+    levels = len(counts)
     while levels > 1 and counts[levels - 1] == 0:
         levels -= 1
-    shape = state.liquid_sdf.shape
-    res_per_level = [tuple(s >> l for s in shape) for l in range(levels)]
+    res_per_level = [tuple(int(s) >> l for s in shape) for l in range(levels)]
     bboxes = _tight_windows(raw_bboxes[:levels], res_per_level)
     return levels, bboxes
 
 
+def decode_topology_probe(packed, shape, full_levels):
+    """Host-side decode of ``SolveStats.topology_probe``: returns
+    (host_stats_dict, effective levels, crop windows).  ``packed`` is the
+    f32 vector [iters, residual, octree_dofs, regular_dofs, counts...,
+    bboxes...] for the FULL (untrimmed) ``full_levels``-level pyramid."""
+    import numpy as np
+
+    packed = np.asarray(packed)
+    head = packed[:4]
+    counts = packed[4:4 + full_levels].astype(np.int64)
+    raw = packed[4 + full_levels:].reshape(full_levels, 3, 2).astype(np.int64)
+    lv, bboxes = _trim_and_window(counts, raw, shape)
+    stats = {
+        "iterations": np.int64(head[0]),
+        "residual": np.float32(head[1]),
+        "octree_dofs": np.int64(head[2]),
+        "regular_dofs": np.int64(head[3]),
+    }
+    return stats, lv, bboxes
+
+
 def make_solver(config: SolverConfig = SolverConfig(),
-                auto_trim_levels: bool = True):
+                auto_trim_levels: bool = True,
+                async_probe: bool = True):
     """Solve closure ``solve(state, dt) -> SolveResult``.
 
     ``auto_trim_levels`` (default on, matching the reference's
@@ -478,30 +545,82 @@ def make_solver(config: SolverConfig = SolverConfig(),
     empty space.  Windows carry hysteresis (grow-on-violation, never
     shrink) so a slowly moving fluid reuses the compiled program; one
     program is cached per distinct topology key.
+
+    ``async_probe`` (default on): fold the occupancy probe INTO the solve
+    program.  Each solve outputs this frame's full-height occupancy
+    (``stats.topology_probe``); the NEXT frame dispatches with those
+    (one-frame-stale, hysteresis-grown) windows, so a steady-state frame
+    costs a single host-device round trip instead of two — on a remote
+    device one round trip is ~35 ms, comparable to a small solve itself.
+    Correctness is unconditional: the probe of the solved frame is checked
+    against the windows actually used, and on a violation (the fluid
+    escaped the crop, or the level trim changed) the frame is re-solved
+    synchronously with the corrected topology.  The returned stats carry
+    host scalars (already fetched), so reading them costs nothing extra.
     """
     jitted = {}
     window_cache = {}
+    carry = {}
+
+    def _dispatch(lv, tight, state, dt):
+        cfg = config
+        if lv != config.octree_levels:
+            cfg = dataclasses.replace(config, octree_levels=lv)
+        shape = state.liquid_sdf.shape
+        res_per_level = [tuple(s >> l for s in shape) for l in range(lv)]
+        bboxes = _merge_windows(window_cache.get(lv), tight, res_per_level)
+        window_cache[lv] = bboxes
+        key = (cfg.octree_levels, bboxes, async_probe)
+        if key not in jitted:
+            pl_ = config.octree_levels if async_probe else None
+            jitted[key] = jax.jit(functools.partial(
+                lambda c, bb, p, s, t: solve_viscosity(
+                    s, t, c, pallas_bboxes=bb, probe_levels=p),
+                cfg, bboxes, pl_,
+            ))
+        return jitted[key](state, dt), bboxes
+
+    def _contained(tight, used):
+        return all(
+            u[d][0] <= t[d][0] and t[d][1] <= u[d][1]
+            for t, u in zip(tight, used) for d in range(3)
+        )
 
     def solve(state: FluidState, dt):
-        cfg = config
-        bboxes = None
-        if auto_trim_levels:
+        if not auto_trim_levels:
+            key = (config.octree_levels, None, False)
+            if key not in jitted:
+                jitted[key] = jax.jit(functools.partial(
+                    lambda c, s, t: solve_viscosity(s, t, c), config))
+            return jitted[key](state, dt)
+
+        if async_probe and "probe" in carry:
+            lv, tight = carry["probe"]
+        else:
             lv, tight = probe_topology(state, config)
-            if lv != config.octree_levels:
-                cfg = dataclasses.replace(config, octree_levels=lv)
-            shape = state.liquid_sdf.shape
-            res_per_level = [tuple(s >> l for s in shape) for l in range(lv)]
-            bboxes = _merge_windows(
-                window_cache.get(lv), tight, res_per_level
-            )
-            window_cache[lv] = bboxes
-        key = (cfg.octree_levels, bboxes)
-        if key not in jitted:
-            jitted[key] = jax.jit(functools.partial(
-                lambda c, bb, s, t: solve_viscosity(s, t, c, pallas_bboxes=bb),
-                cfg, bboxes,
-            ))
-        return jitted[key](state, dt)
+        out, used = _dispatch(lv, tight, state, dt)
+        if not async_probe:
+            return out
+
+        shape = state.liquid_sdf.shape
+        full = capped_levels(shape, config.octree_levels)
+        host, lv2, tight2 = decode_topology_probe(
+            out.stats.topology_probe, shape, full)
+        carry["probe"] = (lv2, tight2)
+        if lv2 != lv or not _contained(tight2, used[:lv2]):
+            # the solved frame's true occupancy escaped the stale windows
+            # (or the trim changed): redo with the corrected topology —
+            # tight2 IS this state's probe, so the redo cannot violate
+            out, used = _dispatch(lv2, tight2, state, dt)
+            host, _, _ = decode_topology_probe(
+                out.stats.topology_probe, shape, full)
+        stats = dataclasses.replace(
+            out.stats,
+            iterations=host["iterations"], residual=host["residual"],
+            octree_dofs=host["octree_dofs"],
+            regular_dofs=host["regular_dofs"],
+        )
+        return SolveResult(velocity=out.velocity, stats=stats)
 
     return solve
 

@@ -153,3 +153,31 @@ def test_solve_damps_shear():
     np.testing.assert_array_equal(
         np.asarray(result.velocity[0])[untouched], vel[0][untouched]
     )
+
+
+def test_async_probe_solver_matches_sync():
+    """make_solver's async-probe mode (one fetch per frame, one-frame-stale
+    crop windows + violation redo) returns the same velocities and stats as
+    the synchronous-probe mode — including across a topology CHANGE that
+    violates the stale windows (frame 2 is a different scene)."""
+    from adaptiveviscositysolver_tpu import scenes
+    from adaptiveviscositysolver_tpu.solver import make_solver
+
+    cfg = SolverConfig(octree_levels=3, tolerance=1e-6, max_iterations=200,
+                       dtype=jnp.float32)
+    frames = [scenes.beam(n=16), scenes.buckling(n=16), scenes.buckling(n=16)]
+    dt = 0.01
+
+    sync = make_solver(cfg, async_probe=False)
+    asyn = make_solver(cfg, async_probe=True)
+    for i, state in enumerate(frames):
+        want = sync(state, dt)
+        got = asyn(state, dt)
+        assert int(got.stats.iterations) == int(want.stats.iterations), i
+        assert abs(float(got.stats.residual) - float(want.stats.residual)) \
+            <= 1e-5 * max(float(want.stats.residual), 1e-30), i
+        assert int(got.stats.octree_dofs) == int(want.stats.octree_dofs), i
+        for a in range(3):
+            np.testing.assert_allclose(
+                np.asarray(got.velocity[a]), np.asarray(want.velocity[a]),
+                rtol=0, atol=1e-6, err_msg=f"frame {i} axis {a}")
