@@ -184,6 +184,226 @@ def crop(arr: jnp.ndarray, canon: Canon, shape: Sequence[int]) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# canonical-to-canonical cross-level views/adjoints
+#
+# The apply's cross-level terms used to round-trip through full logical
+# arrays (crop -> upread/child_sum -> embed).  Logical face shapes have odd
+# minor extents, so every hop forced an XLA relayout/copy against the
+# (8, 128)-tiled canonical layout — measured at ~0.9 ms/apply of "glue" at
+# 96^3, ~40% of the whole matvec.  These versions map canonical boxes to
+# canonical boxes directly: all intermediates keep tile-friendly canonical
+# extents, and the even-parity pads/origins make the level-to-level index
+# algebra a constant offset (derivations inline).
+# ---------------------------------------------------------------------------
+
+
+def _c2c_A(cf: Canon, cc: Canon):
+    """Per-axis A with fine canonical vf reading coarse canonical
+    ``(vf >> 1) + A``: logical pf = org_f + vf - off_f, parent pf>>1 at
+    coarse canonical off_c + (pf>>1) - org_c; all offsets even."""
+    return tuple(
+        oc - gc + (gf - of) // 2
+        for of, oc, gf, gc in zip(cf.off, cc.off, cf.org, cc.org)
+    )
+
+
+def _interleave2(x: jnp.ndarray, zero_axes=()) -> jnp.ndarray:
+    """out[2i+p, 2j+q, 2k+r] = x[i,j,k] in ONE broadcast+reshape (chained
+    per-axis jnp.repeat compiles to transposed-layout copies on TPU —
+    measured ~40% slower applies).  Axes in ``zero_axes`` place x at the
+    even slot and ZERO at the odd slot instead of duplicating."""
+    X, Y, Z = x.shape
+    b = jnp.broadcast_to(x[:, None, :, None, :, None], (X, 2, Y, 2, Z, 2))
+    for d in zero_axes:
+        shape = [1] * 6
+        shape[2 * d + 1] = 2
+        keep = jnp.arange(2).reshape(shape) == 0
+        b = jnp.where(keep, b, 0)
+    return b.reshape(2 * X, 2 * Y, 2 * Z)
+
+
+def up_view_c2c(uc: jnp.ndarray, cc: Canon, cf: Canon) -> jnp.ndarray:
+    """Fine-canonical view of a coarse-canonical array:
+    out[v] = uc[(v >> 1) + A] — equals embed(upread(crop(uc)), cf) on the
+    fine window (outside it, parent values carry through; every consumer
+    masks by kind planes that are OUTSIDE there)."""
+    from .arrayops import gather_offset
+
+    A = _c2c_A(cf, cc)
+    half = tuple(s // 2 for s in cf.shape)  # canonical extents are even
+    src = gather_offset(uc, half, A, fill=0)
+    return _interleave2(src)
+
+
+def up_adjoint_c2c(zf: jnp.ndarray, cf: Canon, cc: Canon) -> jnp.ndarray:
+    """Adjoint of :func:`up_view_c2c`:
+    out[vc] = sum_{d in {0,1}^3} zf[2*(vc - A) + d]."""
+    from .arrayops import gather_offset
+
+    A = _c2c_A(cf, cc)
+    X, Y, Z = zf.shape
+    w = zf.reshape(X // 2, 2, Y // 2, 2, Z // 2, 2).sum(axis=(1, 3, 5))
+    return gather_offset(w, cc.shape, tuple(-a for a in A), fill=0)
+
+
+def _c2c_B(cf: Canon, cc: Canon):
+    """Per-axis B with coarse canonical vc owning fine children at
+    ``2*vc + B + d``: child logical = 2*(org_c + vc - off_c) + d at fine
+    canonical off_f + child - org_f."""
+    return tuple(
+        of - gf + 2 * gc - 2 * oc
+        for of, oc, gf, gc in zip(cf.off, cc.off, cf.org, cc.org)
+    )
+
+
+def cs_view_c2c(uf: jnp.ndarray, cf: Canon, cc: Canon, axis: int) -> jnp.ndarray:
+    """Coarse-canonical child sum of a fine-canonical face array:
+    out[vc] = sum_{dt} uf[2*vc + B + dt] over the 2x2 transverse block
+    (d = 0 along the face axis) — embed(face_child_sum(crop(uf)), cc)
+    without the logical round trip."""
+    from .arrayops import gather_offset
+
+    B = _c2c_B(cf, cc)
+    w = gather_offset(uf, tuple(2 * s for s in cc.shape), B, fill=0)
+    X2, Y2, Z2 = w.shape
+    r = w.reshape(X2 // 2, 2, Y2 // 2, 2, Z2 // 2, 2)
+    # face axis: even child only (drops that pair dim); transverse: sum pairs
+    idx = [slice(None)] * 6
+    idx[2 * axis + 1] = 0
+    r = r[tuple(idx)]
+    pair_dims = [2 * t + 1 for t in range(3) if t != axis]
+    pair_dims = [d - 1 if d > 2 * axis + 1 else d for d in pair_dims]
+    return r.sum(axis=tuple(pair_dims))
+
+
+def cs_adjoint_c2c(zc: jnp.ndarray, cc: Canon, cf: Canon, axis: int) -> jnp.ndarray:
+    """Adjoint of :func:`cs_view_c2c`: broadcast each coarse value to its 4
+    children (even fine index along the face axis)."""
+    from .arrayops import gather_offset
+
+    B = _c2c_B(cf, cc)
+    w = _interleave2(zc, zero_axes=(axis,))
+    return gather_offset(w, cf.shape, tuple(-b for b in B), fill=0)
+
+
+# ---------------------------------------------------------------------------
+# matmul ("mm") glue: the same canonical-to-canonical maps with every y/z
+# interleave/compaction expressed as a contraction against a constant 0/1
+# matrix.  On TPU the broadcast+reshape interleave of the c2c variants is a
+# sublane/lane shuffle XLA lowers catastrophically (measured 34.9 ms/apply
+# vs 2.65 for the logical-shape glue at 96^3); a (Y_in, Y_out) 0/1 matmul
+# rides the MXU instead.  x (the untiled major dim) keeps cheap
+# repeat/reshape forms, and all matmuls run at COARSE x extent — the x
+# expansion happens last (views) or first (adjoints).
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _expand_mat(n_in: int, n_out: int, a: int):
+    """E[i, j] = 1 where (j >> 1) + a == i  (fine j reads coarse i)."""
+    import numpy as np
+
+    j = np.arange(n_out)
+    i = (j >> 1) + a
+    e = np.zeros((n_in, n_out), np.float32)
+    ok = (0 <= i) & (i < n_in)
+    e[i[ok], j[ok]] = 1.0
+    # NB: cached value must stay a host constant — jnp.asarray under an
+    # active trace would cache a tracer (leaks into every later trace)
+    return e
+
+
+@functools.lru_cache(maxsize=None)
+def _pick_mat(n_in: int, n_out: int, b: int, pair: bool):
+    """P[i, j] = 1 where i == 2j + b (+1 too when ``pair``): coarse j sums
+    the fine pair (or picks the even child) at offset ``b``."""
+    import numpy as np
+
+    j = np.arange(n_out)
+    p = np.zeros((n_in, n_out), np.float32)
+    for d in range(2 if pair else 1):
+        i = 2 * j + b + d
+        ok = (0 <= i) & (i < n_in)
+        p[i[ok], j[ok]] = 1.0
+    return p  # host constant (see _expand_mat)
+
+
+def _mm_yz(w: jnp.ndarray, my: jnp.ndarray, mz: jnp.ndarray) -> jnp.ndarray:
+    # HIGHEST precision: the default TPU matmul rounds f32 inputs to bf16,
+    # which would perturb the CG iterate; with 0/1 matrices and <=2 terms
+    # per output the f32-decomposed passes reproduce plain f32 arithmetic
+    hi = jax.lax.Precision.HIGHEST
+    w = jnp.einsum("xyz,zw->xyw", w, mz, precision=hi)
+    return jnp.einsum("xyz,yu->xuz", w, my, precision=hi)
+
+
+def _x_expand(w: jnp.ndarray, n_out: int, a: int) -> jnp.ndarray:
+    """out[r] = w[(r >> 1) + a] along axis 0 (major dim: cheap copies)."""
+    from .arrayops import gather_offset
+
+    r = jnp.repeat(w, 2, axis=0)  # r[2i + p] = w[i]
+    return gather_offset(r, (n_out,) + w.shape[1:], (2 * a, 0, 0), fill=0)
+
+
+def _x_reduce(w: jnp.ndarray, n_out: int, b: int, pair: bool) -> jnp.ndarray:
+    """out[u] = w[2u + b] (+ w[2u + b + 1] when ``pair``) along axis 0."""
+    from .arrayops import gather_offset
+
+    g = gather_offset(w, (2 * n_out,) + w.shape[1:], (b, 0, 0), fill=0)
+    r = g.reshape((n_out, 2) + w.shape[1:])
+    return r.sum(axis=1) if pair else r[:, 0]
+
+
+def up_view_mm(uc: jnp.ndarray, cc: Canon, cf: Canon) -> jnp.ndarray:
+    """MXU form of :func:`up_view_c2c` (equal where consumers read)."""
+    A = _c2c_A(cf, cc)
+    Xf, Yf, Zf = cf.shape
+    w = _mm_yz(uc, _expand_mat(cc.shape[1], Yf, A[1]),
+               _expand_mat(cc.shape[2], Zf, A[2]))
+    return _x_expand(w, Xf, A[0])
+
+
+def up_adjoint_mm(zf: jnp.ndarray, cf: Canon, cc: Canon) -> jnp.ndarray:
+    """MXU form of :func:`up_adjoint_c2c` (exactly equal)."""
+    A = _c2c_A(cf, cc)
+    Xc, Yc, Zc = cc.shape
+    w = _x_reduce(zf, Xc, -2 * A[0], pair=True)
+    return _mm_yz(w, _expand_mat(Yc, cf.shape[1], A[1]).T,
+                  _expand_mat(Zc, cf.shape[2], A[2]).T)
+
+
+def cs_view_mm(uf: jnp.ndarray, cf: Canon, cc: Canon, axis: int) -> jnp.ndarray:
+    """MXU form of :func:`cs_view_c2c` (exactly equal)."""
+    B = _c2c_B(cf, cc)
+    Xc, Yc, Zc = cc.shape
+    w = _x_reduce(uf, Xc, B[0], pair=axis != 0)
+    return _mm_yz(w, _pick_mat(cf.shape[1], Yc, B[1], axis != 1),
+                  _pick_mat(cf.shape[2], Zc, B[2], axis != 2))
+
+
+def cs_adjoint_mm(zc: jnp.ndarray, cc: Canon, cf: Canon, axis: int) -> jnp.ndarray:
+    """MXU form of :func:`cs_adjoint_c2c` (exactly equal)."""
+    B = _c2c_B(cf, cc)
+    Xf, Yf, Zf = cf.shape
+    w = _mm_yz(zc, _pick_mat(Yf, cc.shape[1], B[1], axis != 1).T,
+               _pick_mat(Zf, cc.shape[2], B[2], axis != 2).T)
+    # adjoint of out[u] = w[2u + b] (+pair): scatter back along x
+    from .arrayops import gather_offset
+
+    if axis != 0:
+        r = jnp.repeat(w, 2, axis=0)             # rows 2u, 2u+1 <- w[u]
+    else:
+        r = _interleave_x_zero(w)                # row 2u <- w[u], 2u+1 <- 0
+    return gather_offset(r, (Xf,) + w.shape[1:], (-B[0], 0, 0), fill=0)
+
+
+def _interleave_x_zero(w: jnp.ndarray) -> jnp.ndarray:
+    """out[2u] = w[u], out[2u+1] = 0 along axis 0 (major dim: free reshape)."""
+    z = jnp.zeros_like(w)
+    return jnp.stack([w, z], axis=1).reshape((2 * w.shape[0],) + w.shape[1:])
+
+
+# ---------------------------------------------------------------------------
 # in-kernel helpers (operate on loaded slab VALUES, not refs)
 # ---------------------------------------------------------------------------
 
@@ -708,7 +928,7 @@ def _fused_input_names(level: int, levels: int):
 
 
 def _make_fused_kernel(level: int, levels: int, canon: Canon, dx: float,
-                       enhanced: bool):
+                       enhanced: bool, pipelined: bool = False):
     """One kernel per level: build every weighted stress tau in-register AND
     immediately distribute it back onto the velocity faces (tau kernel + D^T
     kernel fused; the CG SpMV hot loop, cpp:611-643).
@@ -743,6 +963,35 @@ def _make_fused_kernel(level: int, levels: int, canon: Canon, dx: float,
         i = pl.program_id(0)
         interior = jnp.logical_and(i >= canon.PX, i < canon.PX + canon.K)
 
+        # slab DMA: ``pipelined`` double-buffers the input slabs — every
+        # program issues the NEXT interior program's copies into the other
+        # slot before computing its own, so the serial DMA wait overlaps
+        # with compute (program PX-1, a halo program — PX >= 1 always —
+        # issues the first interior program's copies).  Off by default:
+        # the traced-slot VMEM indexing it needs measured 16x SLOWER than
+        # the single-buffered kernel on v5e (Mosaic can't statically lay
+        # out ``scratch[j][slot]``), kept behind AVS_PALLAS_PIPELINE for
+        # re-evaluation on other toolchains.
+        def copies_for(prog, slot):
+            return [
+                pltpu.make_async_copy(
+                    ins[j].at[pl.ds(prog * TX - h, TX + 2 * h)],
+                    scratch[j] if slot is None else scratch[j].at[slot],
+                    sems.at[j] if slot is None else sems.at[slot, j],
+                )
+                for j, (_, _, h) in enumerate(in_names)
+            ]
+
+        if pipelined:
+            nxt = i + 1
+            nxt_interior = jnp.logical_and(nxt >= canon.PX,
+                                           nxt < canon.PX + canon.K)
+
+            @pl.when(nxt_interior)
+            def _():
+                for c in copies_for(nxt, jax.lax.rem(nxt, jnp.int32(2))):
+                    c.start()
+
         @pl.when(jnp.logical_not(interior))
         def _():
             for j in range(NOUT):
@@ -750,22 +999,19 @@ def _make_fused_kernel(level: int, levels: int, canon: Canon, dx: float,
 
         @pl.when(interior)
         def _():
-            copies = [
-                pltpu.make_async_copy(
-                    ins[j].at[pl.ds(i * TX - h, TX + 2 * h)], scratch[j],
-                    sems.at[j]
-                )
-                for j, (_, _, h) in enumerate(in_names)
-            ]
-            for c in copies:
-                c.start()
-            for c in copies:
+            if pipelined:
+                slot = jax.lax.rem(i, jnp.int32(2))
+            else:
+                slot = None
+                for c in copies_for(i, None):
+                    c.start()
+            for c in copies_for(i, slot):
                 c.wait()
 
             v = {}
             halo = {}
             for j, (name, dt_, h) in enumerate(in_names):
-                v[name] = scratch[j][:]
+                v[name] = scratch[j][:] if slot is None else scratch[j][slot]
                 halo[name] = h
 
             # stress-row reads: slab row halo-2 covers stress row 0
@@ -997,11 +1243,33 @@ def _make_fused_kernel(level: int, levels: int, canon: Canon, dx: float,
     return kernel, in_names, out_names
 
 
+def _env_flag(name: str, default: str = "0") -> bool:
+    import os
+
+    return os.environ.get(name, default) == "1"
+
+
+def _glue_mode() -> str:
+    """Cross-level glue lowering: "mm" (default) | "c2c" | "old"."""
+    import os
+
+    mode = os.environ.get("AVS_PALLAS_GLUE", "mm")
+    if mode not in ("mm", "c2c", "old"):
+        raise ValueError(f"AVS_PALLAS_GLUE must be mm|c2c|old, got {mode}")
+    return mode
+
+
 @functools.lru_cache(maxsize=None)
 def _compiled_fused_call(level: int, levels: int, canon: Canon, dx: float,
                          enhanced: bool, interpret: bool):
-    fk, fin, fout = _make_fused_kernel(level, levels, canon, dx, enhanced)
-    return _pallas_level_call(fk, fin, fout, canon, interpret), fin, fout
+    pipelined = _env_flag("AVS_PALLAS_PIPELINE")
+    fk, fin, fout = _make_fused_kernel(level, levels, canon, dx, enhanced,
+                                       pipelined)
+    return (
+        _pallas_level_call(fk, fin, fout, canon, interpret,
+                           pipelined=pipelined),
+        fin, fout,
+    )
 
 
 VMEM_LIMIT = 116 * 1024 * 1024  # v5e has 128 MB physical VMEM; the XLA
@@ -1012,10 +1280,19 @@ VMEM_LIMIT = 116 * 1024 * 1024  # v5e has 128 MB physical VMEM; the XLA
 
 
 def _pallas_level_call(kernel, in_names, out_names, canon: Canon,
-                       interpret: bool):
+                       interpret: bool, pipelined: bool = False):
     TX = canon.TX
     CX, CY, CZ = canon.shape
     NIN = len(in_names)
+    if pipelined:
+        # double-buffered input slabs + per-slot DMA semaphores
+        scratch = [
+            pltpu.VMEM((2, TX + 2 * h, CY, CZ), dt) for _, dt, h in in_names
+        ] + [pltpu.SemaphoreType.DMA((2, NIN))]
+    else:
+        scratch = [
+            pltpu.VMEM((TX + 2 * h, CY, CZ), dt) for _, dt, h in in_names
+        ] + [pltpu.SemaphoreType.DMA((NIN,))]
     return pl.pallas_call(
         kernel,
         grid=(canon.grid,),
@@ -1028,9 +1305,7 @@ def _pallas_level_call(kernel, in_names, out_names, canon: Canon,
         out_shape=[
             jax.ShapeDtypeStruct((CX, CY, CZ), F32) for _ in out_names
         ],
-        scratch_shapes=[
-            pltpu.VMEM((TX + 2 * h, CY, CZ), dt) for _, dt, h in in_names
-        ] + [pltpu.SemaphoreType.DMA((NIN,))],
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT,
@@ -1149,21 +1424,50 @@ def make_pallas_operator(
         }
 
     def apply_A(u: UField) -> UField:
-        # cross-level views (XLA): fine-shaped parent reads, coarse child sums
+        # cross-level views: AVS_PALLAS_GLUE picks the lowering —
+        #   "mm"  (default): canonical-to-canonical with MXU-matmul y/z
+        #         interleaves (fastest measured on v5e)
+        #   "c2c": canonical-to-canonical broadcast+reshape interleaves
+        #         (lane-shuffle lowering: 34.9 ms/apply at 96^3 — kept only
+        #         for comparison)
+        #   "old": logical-shape round trips (crop -> repeat chains ->
+        #         embed; the round-3 shipped glue, ~0.9 ms/apply)
+        glue = _glue_mode()
         extras: Dict[str, jnp.ndarray] = {}
         for l in range(levels):
             if l + 1 < levels:
                 for f in range(3):
-                    cu = crop(u[(l + 1, f)], canons[l + 1], fshape(l + 1, f))
-                    extras[f"up{f}_{l}"] = embed(
-                        upread(cu, fshape(l, f)), canons[l], 0.0
-                    )
+                    if glue == "mm":
+                        extras[f"up{f}_{l}"] = up_view_mm(
+                            u[(l + 1, f)], canons[l + 1], canons[l]
+                        )
+                    elif glue == "c2c":
+                        extras[f"up{f}_{l}"] = up_view_c2c(
+                            u[(l + 1, f)], canons[l + 1], canons[l]
+                        )
+                    else:
+                        cu = crop(u[(l + 1, f)], canons[l + 1],
+                                  fshape(l + 1, f))
+                        extras[f"up{f}_{l}"] = embed(
+                            upread(cu, fshape(l, f)), canons[l], 0.0
+                        )
             if l > 0:
                 for f in range(3):
-                    fu = crop(u[(l - 1, f)], canons[l - 1], fshape(l - 1, f))
-                    extras[f"cs{f}_{l}"] = embed(
-                        face_child_sum(fu, f, fshape(l, f)), canons[l], 0.0
-                    )
+                    if glue == "mm":
+                        extras[f"cs{f}_{l}"] = cs_view_mm(
+                            u[(l - 1, f)], canons[l - 1], canons[l], f
+                        )
+                    elif glue == "c2c":
+                        extras[f"cs{f}_{l}"] = cs_view_c2c(
+                            u[(l - 1, f)], canons[l - 1], canons[l], f
+                        )
+                    else:
+                        fu = crop(u[(l - 1, f)], canons[l - 1],
+                                  fshape(l - 1, f))
+                        extras[f"cs{f}_{l}"] = embed(
+                            face_child_sum(fu, f, fshape(l, f)),
+                            canons[l], 0.0
+                        )
 
         outs: Dict[Tuple[int, int], jnp.ndarray] = {}
         zps: Dict[Tuple[int, int], jnp.ndarray] = {}
@@ -1209,24 +1513,35 @@ def make_pallas_operator(
                 else:
                     zcs[(l, int(name[2]))] = r
 
-        # cross-level adjoints (XLA), masked at the add: zp/zc leave the
-        # kernels unmasked and may distribute onto non-FLUID faces.  The
-        # per-level out arrays are already mass-added and masked in-kernel.
+        # cross-level adjoints, masked at the add: zp/zc leave the kernels
+        # unmasked and may distribute onto non-FLUID faces.  The per-level
+        # out arrays are already mass-added and masked in-kernel.
         for (l, f), zp in zps.items():
-            zl = crop(zp, canons[l], fshape(l, f))
-            up_adj = upread_adjoint(zl, fshape(l + 1, f))
+            if glue == "mm":
+                up_adj = up_adjoint_mm(zp, canons[l], canons[l + 1])
+            elif glue == "c2c":
+                up_adj = up_adjoint_c2c(zp, canons[l], canons[l + 1])
+            else:
+                zl = crop(zp, canons[l], fshape(l, f))
+                up_adj = embed(
+                    upread_adjoint(zl, fshape(l + 1, f)), canons[l + 1], 0.0
+                )
             outs[(l + 1, f)] = outs[(l + 1, f)] + jnp.where(
-                active_c[(l + 1, f)],
-                embed(up_adj, canons[l + 1], 0.0),
-                0.0,
+                active_c[(l + 1, f)], up_adj, 0.0,
             )
         for (l, f), zc in zcs.items():
-            zl = crop(zc, canons[l], fshape(l, f))
-            cs_adj = face_child_sum_adjoint(zl, f, fshape(l - 1, f))
+            if glue == "mm":
+                cs_adj = cs_adjoint_mm(zc, canons[l], canons[l - 1], f)
+            elif glue == "c2c":
+                cs_adj = cs_adjoint_c2c(zc, canons[l], canons[l - 1], f)
+            else:
+                zl = crop(zc, canons[l], fshape(l, f))
+                cs_adj = embed(
+                    face_child_sum_adjoint(zl, f, fshape(l - 1, f)),
+                    canons[l - 1], 0.0
+                )
             outs[(l - 1, f)] = outs[(l - 1, f)] + jnp.where(
-                active_c[(l - 1, f)],
-                embed(cs_adj, canons[l - 1], 0.0),
-                0.0,
+                active_c[(l - 1, f)], cs_adj, 0.0,
             )
 
         return outs

@@ -61,6 +61,14 @@ class SolveStats:
     # async-probe mode can fetch everything the host needs (stats + next
     # frame's crop windows) in ONE device round trip.  None otherwise.
     topology_probe: Optional[jnp.ndarray] = None
+    # which CG path actually ran (a trace-time constant): one of
+    # "pallas-sharded" (shard_map + fused Pallas kernels), "pallas"
+    # (single-device fused Pallas), "v1"/"v1-fused" (whole-array XLA),
+    # "refined" (mixed-precision iterative refinement).  Lets callers and
+    # tests assert the production path instead of trusting a silent
+    # fallback.
+    solve_path: str = dataclasses.field(
+        default="", metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -93,6 +101,56 @@ def _validate_state(state: FluidState) -> None:
                 )
     if state.dx <= 0:
         raise ValueError("dx must be positive")
+
+
+def padded_shape(shape: Sequence[int], levels: int,
+                 mesh_n: int = 1) -> Tuple[int, int, int]:
+    """Smallest domain extents >= ``shape`` the octree build accepts.
+
+    The reference stretches any input resolution to the containing power of
+    two and clamps ACTIVE cells to the original region
+    (/root/reference/Source/HDK_OctreeGrid.cpp:10-24).  The dense pyramid
+    only needs divisibility by ``2^(levels-1)`` (gentler than pow2); a 1D
+    x-sharded solve additionally needs ``mesh_n | nx_l`` with even local
+    widths below the top, i.e. ``(mesh_n << (levels-1)) | nx``.  Padding is
+    INACTIVE (positive SDF), so it adds no DOFs and the occupied-region crop
+    windows sweep none of it.
+    """
+    m = 1 << max(0, levels - 1)
+    mx = m * max(1, mesh_n)
+    mults = (mx, m, m)
+    return tuple(-(-int(s) // q) * q for s, q in zip(shape, mults))
+
+
+def _pad_state(state: FluidState, target: Sequence[int]) -> FluidState:
+    """Pad every field of ``state`` to cell resolution ``target``.
+
+    SDFs get a large positive constant (far outside liquid, far from solid
+    -> the refinement mask labels the pad INACTIVE); velocities pad with
+    zero; viscosity/density replicate their edge values (keeps them
+    positive for the SPD system).  Padding appends on the high side only,
+    so cell/face coordinates of the original region are unchanged.
+    """
+    res = state.liquid_sdf.shape
+    pads = tuple(int(t) - int(s) for s, t in zip(res, target))
+    if not any(pads):
+        return state
+    cell_pad = tuple((0, p) for p in pads)
+    far = jnp.asarray(4.0 * state.dx * max(target), state.liquid_sdf.dtype)
+
+    def pad_face(v, axis):
+        return jnp.pad(v, cell_pad, constant_values=0)
+
+    return dataclasses.replace(
+        state,
+        liquid_sdf=jnp.pad(state.liquid_sdf, cell_pad, constant_values=far),
+        solid_sdf=jnp.pad(state.solid_sdf, cell_pad, constant_values=far),
+        velocity=tuple(pad_face(v, a) for a, v in enumerate(state.velocity)),
+        solid_velocity=tuple(
+            pad_face(v, a) for a, v in enumerate(state.solid_velocity)),
+        viscosity=jnp.pad(state.viscosity, cell_pad, mode="edge"),
+        density=jnp.pad(state.density, cell_pad, mode="edge"),
+    )
 
 
 def solve_viscosity(
@@ -144,9 +202,30 @@ def solve_viscosity(
         )
     dx = state.dx
     extrapolation = config.extrapolation * dx
+    orig_res = tuple(state.liquid_sdf.shape)
+    levels = capped_levels(orig_res, config.octree_levels)
+    # automatic domain padding (HDK_OctreeGrid.cpp:10-24): any resolution is
+    # legal input; the pyramid build needs divisibility by 2^(levels-1) (and
+    # the sharded CG needs mesh_n | nx_l), so pad with INACTIVE cells and
+    # crop the output velocity back.  The pad multiple always covers the
+    # FULL configured pyramid (not the trimmed ``levels``): the topology
+    # probe builds the untrimmed pyramid, and a trim-independent pad keeps
+    # probe window coordinates valid across every specialization.
+    pad_levels = max(levels, capped_levels(orig_res, config.octree_levels))
+    if probe_levels is not None:
+        pad_levels = max(pad_levels, capped_levels(orig_res, probe_levels))
+    mesh_n = mesh.devices.size if mesh is not None else 1
+    target = padded_shape(orig_res, pad_levels, mesh_n)
+    if target != orig_res:
+        state = _pad_state(state, target)
+        if face_weights is not None:
+            pads = tuple(int(t) - int(s) for s, t in zip(orig_res, target))
+            face_weights = [
+                jnp.pad(w, tuple((0, p) for p in pads), constant_values=0)
+                for w in face_weights
+            ]
     liquid = state.liquid_sdf
     solid = state.solid_sdf
-    levels = capped_levels(liquid.shape, config.octree_levels)
     if pallas_bboxes is not None and len(pallas_bboxes) != levels:
         raise ValueError(
             f"pallas_bboxes has {len(pallas_bboxes)} levels, solve has "
@@ -185,6 +264,18 @@ def solve_viscosity(
         ]
 
     res_per_level = [tuple(l.shape) for l in labels]
+    if pallas_bboxes is not None:
+        # clamp probe windows to THIS solve's (padded) level resolutions:
+        # quantized windows may extend past them when the probe padded for
+        # a taller pyramid than this specialization uses
+        pallas_bboxes = tuple(
+            tuple(
+                (min(int(b[d][0]), max(0, (res[d] - 2) & ~1)),
+                 min(int(b[d][1]), res[d]))
+                for d in range(3)
+            )
+            for b, res in zip(pallas_bboxes, res_per_level)
+        )
     active = {
         (l, a): vel_kinds[l][a] == classify.FLUID
         for l in range(levels)
@@ -279,6 +370,13 @@ def solve_viscosity(
                 blocks, mass, active, res_per_level, terms_builder=terms_builder
             )
 
+    if config.use_iterative_refinement:
+        solve_path = "refined"
+    elif impl == "pallas" and sharded_pallas:
+        solve_path = "pallas-sharded"
+    else:
+        solve_path = impl
+
     with jax.named_scope("solve"):
         if config.use_iterative_refinement:
             f32 = jnp.float32
@@ -363,6 +461,14 @@ def solve_viscosity(
             state.velocity, solution, labels, vel_kinds, regular_kinds,
             state.solid_velocity, levels, interpolated,
         )
+        if target != orig_res:
+            # crop the padded faces back to the caller's resolution (pads
+            # are INACTIVE -> untouched zeros)
+            new_velocity = [
+                v[tuple(slice(0, orig_res[d] + (1 if d == a else 0))
+                        for d in range(3))]
+                for a, v in enumerate(new_velocity)
+            ]
 
     probe_pack = None
     if probe_levels is not None:
@@ -393,6 +499,7 @@ def solve_viscosity(
         regular_dofs=sum(jnp.sum(k == classify.FLUID) for k in regular_kinds),
         active_cells=octree.active_cell_counts(labels),
         topology_probe=probe_pack,
+        solve_path=solve_path,
     )
     return SolveResult(velocity=tuple(new_velocity), stats=stats)
 
@@ -404,6 +511,15 @@ def _levels_probe(shape, levels, dx, extrapolation, fine_bandwidth):
     @jax.jit
     def counts(liquid, solid):
         inner_band = dx * max(2.0, float(fine_bandwidth))
+        target = padded_shape(liquid.shape, levels)
+        if target != tuple(liquid.shape):
+            # same INACTIVE padding the solve applies (coordinates of the
+            # occupied boxes are pad-invariant: padding appends high-side)
+            pads = tuple((0, int(t) - int(s))
+                         for s, t in zip(liquid.shape, target))
+            far = jnp.asarray(4.0 * dx * max(target), liquid.dtype)
+            liquid = jnp.pad(liquid, pads, constant_values=far)
+            solid = jnp.pad(solid, pads, constant_values=far)
         mask = octree.build_refinement_mask(
             liquid, solid, dx, extrapolation, 3.0 * dx, inner_band
         )
@@ -421,10 +537,17 @@ def _levels_probe(shape, levels, dx, extrapolation, fine_bandwidth):
     return counts
 
 
-def _tight_windows(raw, res_per_level, margin=2):
+WINDOW_QUANTUM = 16
+
+
+def _tight_windows(raw, res_per_level, margin=2, q=WINDOW_QUANTUM):
     """Per-level crop windows from the probe's occupied boxes: ``margin``
-    covers neighbor kind reads around boundary DOFs, and origins are
-    rounded down to even so canonical parity equals logical parity."""
+    covers neighbor kind reads around boundary DOFs, then both ends snap
+    outward to the ``q``-cell grid.  Quantization bounds the population of
+    distinct windows (crop windows are jit-specialization keys: continuous
+    integer windows would mint a new compiled program for every few cells
+    of fluid motion); origins stay even so canonical parity equals logical
+    parity."""
     out = []
     for bb, res in zip(raw, res_per_level):
         rows = []
@@ -432,21 +555,21 @@ def _tight_windows(raw, res_per_level, margin=2):
             lo, hi = int(bb[d, 0]), int(bb[d, 1])
             if hi <= lo:            # empty level (kept only below the trim)
                 lo, hi = 0, min(2, res[d])
-            lo = max(0, lo - margin)
-            lo -= lo % 2
-            hi = min(res[d], hi + margin)
+            lo = max(0, lo - margin) // q * q
+            hi = min(res[d], -(-(hi + margin) // q) * q)
             rows.append((lo, hi))
         out.append(tuple(rows))
     return tuple(out)
 
 
-def _merge_windows(cached, tight, res_per_level, grow=8):
+def _merge_windows(cached, tight, res_per_level, q=WINDOW_QUANTUM):
     """Hysteresis for the per-solver window cache: keep the compiled window
     while the fluid stays inside it; on violation, extend the violated side
-    by ``grow`` cells (preempting further motion in that direction) so a
-    moving fluid recompiles in coarse steps, not every frame.  Windows never
-    shrink within one solver closure — the cost of a stale-large window is
-    swept empty space, the cost of flapping is a recompile."""
+    one extra quantum past the tight bound (preempting further motion in
+    that direction) so a moving fluid recompiles in coarse steps, not every
+    frame.  Windows never shrink within one solver closure — the cost of a
+    stale-large window is swept empty space, the cost of flapping is a
+    recompile.  All bounds live on the ``q``-cell grid."""
     if cached is None:
         return tight
     out = []
@@ -455,10 +578,9 @@ def _merge_windows(cached, tight, res_per_level, grow=8):
         for d in range(3):
             lo, hi = cw[d]
             if tw[d][0] < lo:
-                lo = max(0, tw[d][0] - grow)
-                lo -= lo % 2
+                lo = max(0, tw[d][0] - q)
             if tw[d][1] > hi:
-                hi = min(res[d], tw[d][1] + grow)
+                hi = min(res[d], tw[d][1] + q)
             rows.append((lo, hi))
         out.append(tuple(rows))
     return tuple(out)
@@ -502,11 +624,15 @@ def probe_topology(state: FluidState, config: SolverConfig):
 
 def _trim_and_window(counts, raw_bboxes, shape):
     """Shared host-side probe decode: trailing empty levels dropped, then
-    per-level crop windows from the occupied boxes."""
-    levels = len(counts)
+    per-level crop windows from the occupied boxes.  Window bounds cap at
+    the full-height PADDED resolutions (the coordinate system the probe ran
+    in); solve_viscosity re-clamps them to whatever pyramid it builds."""
+    full = len(counts)
+    levels = full
     while levels > 1 and counts[levels - 1] == 0:
         levels -= 1
-    res_per_level = [tuple(int(s) >> l for s in shape) for l in range(levels)]
+    pshape = padded_shape(shape, full)
+    res_per_level = [tuple(int(s) >> l for s in pshape) for l in range(levels)]
     bboxes = _tight_windows(raw_bboxes[:levels], res_per_level)
     return levels, bboxes
 
@@ -558,7 +684,11 @@ def make_solver(config: SolverConfig = SolverConfig(),
     synchronously with the corrected topology.  The returned stats carry
     host scalars (already fetched), so reading them costs nothing extra.
     """
-    jitted = {}
+    from collections import OrderedDict
+
+    jitted = OrderedDict()
+    max_programs = 8  # LRU cap: topology drift must not grow the program
+    # population without bound (each entry pins a compiled executable)
     window_cache = {}
     carry = {}
 
@@ -567,7 +697,8 @@ def make_solver(config: SolverConfig = SolverConfig(),
         if lv != config.octree_levels:
             cfg = dataclasses.replace(config, octree_levels=lv)
         shape = state.liquid_sdf.shape
-        res_per_level = [tuple(s >> l for s in shape) for l in range(lv)]
+        pshape = padded_shape(shape, capped_levels(shape, config.octree_levels))
+        res_per_level = [tuple(s >> l for s in pshape) for l in range(lv)]
         bboxes = _merge_windows(window_cache.get(lv), tight, res_per_level)
         window_cache[lv] = bboxes
         key = (cfg.octree_levels, bboxes, async_probe)
@@ -578,6 +709,9 @@ def make_solver(config: SolverConfig = SolverConfig(),
                     s, t, c, pallas_bboxes=bb, probe_levels=p),
                 cfg, bboxes, pl_,
             ))
+        jitted.move_to_end(key)
+        while len(jitted) > max_programs:
+            jitted.popitem(last=False)
         return jitted[key](state, dt), bboxes
 
     def _contained(tight, used):
@@ -622,6 +756,12 @@ def make_solver(config: SolverConfig = SolverConfig(),
         )
         return SolveResult(velocity=out.velocity, stats=stats)
 
+    def cache_info():
+        """Compiled-program population (for tests / recompile budgeting)."""
+        return {"programs": len(jitted),
+                "windows": {lv: w for lv, w in window_cache.items()}}
+
+    solve.cache_info = cache_info
     return solve
 
 

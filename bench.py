@@ -172,10 +172,21 @@ def bench_scene(metric, scene_name, n, config, reps=6):
         chk = sum(jnp.sum(m) for m in mass.values())
         return blocks, mass, vk, guess, chk
 
+    # stage timing runs a SCALAR-ONLY build program: build_parts returns
+    # every coefficient array as a program output, which forces XLA to
+    # materialize + lay out ~100s of MB it would otherwise fuse away — the
+    # round-3 beam artifact timed that program and published build=872 ms
+    # against a 140 ms frame.  build_chk reduces EVERY build product into
+    # one scalar (so nothing is DCE'd and the whole build still executes)
+    # without any bulk outputs, so build + solve ~= frame by construction.
+    @jax.jit
+    def build_chk(st):
+        parts = build_parts.__wrapped__(st)[:-1]
+        leaves = jax.tree_util.tree_leaves(parts)
+        return sum(jnp.sum(jnp.asarray(l, jnp.float32)) for l in leaves)
+
     def run_build():
-        parts = build_parts(state)
-        float(parts[-1])
-        return parts[:-1]
+        float(build_chk(state))
 
     run_build()  # compile
     build_best = float("inf")
@@ -273,6 +284,20 @@ def main():
 
     config = SolverConfig(octree_levels=4, tolerance=1e-4)
 
+    # on-device equality artifact (VERDICT r3 #8): fused Pallas matvec and
+    # an end-to-end solve cross-checked against the v1 operator on the live
+    # chip, recorded alongside the perf numbers
+    device_check = None
+    if os.environ.get("AVS_BENCH_SKIP_DEVCHECK", "") != "1":
+        try:
+            from tools import device_check as dc
+
+            device_check = dc.run(48)
+        except Exception:
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+
     if os.environ.get("AVS_BENCH_SKIP_BEAM", "") != "1":
         n_beam = int(os.environ.get("AVS_BENCH_N_BEAM", "64"))
         print(json.dumps(bench_scene(
@@ -280,9 +305,9 @@ def main():
             flush=True)
 
     n = int(os.environ.get("AVS_BENCH_N", "96"))
-    print(json.dumps(bench_scene(
-        f"buckling_{n}_frame_solve", "buckling", n, config)),
-        flush=True)
+    rec = bench_scene(f"buckling_{n}_frame_solve", "buckling", n, config)
+    rec["device_check"] = device_check
+    print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
