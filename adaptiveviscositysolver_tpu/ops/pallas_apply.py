@@ -1272,6 +1272,38 @@ def _compiled_fused_call(level: int, levels: int, canon: Canon, dx: float,
     )
 
 
+# The fused kernel's VMEM liveness scales with the full canonical y*z
+# plane (whole-plane slabs; docs/perf_notes.md records why every tiled
+# layout lost).  Measured: ~53 MB total liveness at the 96^3 level-0 canon
+# (plane 112*128 = 14336 f32 elements) — static slabs are ~11 MB of that,
+# the rest is Mosaic temporaries from the fully unrolled stencil, and both
+# scale linearly with the plane.  Above the plane budget the fused kernel
+# cannot compile, so callers must route those solves to the whole-array
+# XLA operator (solver resolves apply_impl='auto' through fits_vmem).
+_MEASURED_VMEM_BYTES = 53 * 1024 * 1024
+_MEASURED_PLANE = 112 * 128
+
+
+def fused_vmem_estimate(res, bbox=None) -> int:
+    """Projected per-kernel VMEM liveness (bytes) for one level's fused
+    program, linear in the canonical y*z plane area."""
+    c = make_canon(res, bbox=bbox)
+    plane = c.shape[1] * c.shape[2]
+    return int(_MEASURED_VMEM_BYTES * plane / _MEASURED_PLANE)
+
+
+def fits_vmem(res_per_level, bboxes=None, margin: float = 0.9) -> bool:
+    """Whether the fused kernels are projected to fit the VMEM cap on every
+    level (with ``margin`` headroom — the projection is a linear model, and
+    a false pass is a Mosaic compile failure while a false fail only costs
+    the Pallas speedup)."""
+    for l, res in enumerate(res_per_level):
+        bb = None if bboxes is None else bboxes[l]
+        if fused_vmem_estimate(res, bb) > margin * VMEM_LIMIT:
+            return False
+    return True
+
+
 VMEM_LIMIT = 116 * 1024 * 1024  # v5e has 128 MB physical VMEM; the XLA
 # default scoped-vmem cap is 16 MB, far below what one core can use.  The
 # fused kernel's cross-pass coefficient liveness (~31 MB at 96^3) and the

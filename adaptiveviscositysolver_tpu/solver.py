@@ -310,6 +310,18 @@ def solve_viscosity(
             # full precision via the whole-array apply
             impl = ("pallas" if jax.default_backend() == "tpu"
                     and sdtype != jnp.float64 else "v1-fused")
+            if impl == "pallas":
+                # VMEM wall: the fused kernels carry whole y/z planes per
+                # x-slab, so their liveness scales with the plane area and
+                # stops compiling past ~128^3 uncropped (the projection and
+                # its measurement basis live in ops/pallas_apply.fits_vmem;
+                # the re-layout budget is in docs/perf_notes.md).  Big
+                # grids route to the whole-array XLA operator — correct at
+                # any size — and solve_path records the fallback.
+                from .ops import pallas_apply as _pa
+
+                if not _pa.fits_vmem(res_per_level, pallas_bboxes):
+                    impl = "v1-fused"
         if config.use_iterative_refinement and impl not in ("v1", "v1-fused"):
             # refinement drives logical-space v1 applies in two precisions
             impl = "v1-fused"
@@ -600,7 +612,8 @@ def effective_levels(state: FluidState, config: SolverConfig) -> int:
     return probe_topology(state, config)[0]
 
 
-def probe_topology(state: FluidState, config: SolverConfig):
+def probe_topology(state: FluidState, config: SolverConfig,
+                   window_quantum: int = WINDOW_QUANTUM):
     """Host-side topology probe: (effective level count, per-level static
     crop windows for the Pallas operator).
 
@@ -609,7 +622,11 @@ def probe_topology(state: FluidState, config: SolverConfig):
     trimmed empty top levels skip whole kernel launches, and the crop
     windows shrink every canonical box to the occupied region (the dense
     full-domain box sweeps mostly empty space when the fluid is small,
-    e.g. the beam scene occupies ~7% of its domain)."""
+    e.g. the beam scene occupies ~7% of its domain).
+
+    ``window_quantum`` overrides the window snap grid (must stay even for
+    canonical parity); the default bounds the recompile population, a
+    smaller value gives tighter windows for single-topology workloads."""
     import numpy as np
 
     levels = capped_levels(state.liquid_sdf.shape, config.octree_levels)
@@ -619,10 +636,11 @@ def probe_topology(state: FluidState, config: SolverConfig):
     )(state.liquid_sdf, state.solid_sdf))
     counts = packed[:levels]
     raw_bboxes = packed[levels:].reshape(levels, 3, 2)
-    return _trim_and_window(counts, raw_bboxes, state.liquid_sdf.shape)
+    return _trim_and_window(counts, raw_bboxes, state.liquid_sdf.shape,
+                            q=window_quantum)
 
 
-def _trim_and_window(counts, raw_bboxes, shape):
+def _trim_and_window(counts, raw_bboxes, shape, q=WINDOW_QUANTUM):
     """Shared host-side probe decode: trailing empty levels dropped, then
     per-level crop windows from the occupied boxes.  Window bounds cap at
     the full-height PADDED resolutions (the coordinate system the probe ran
@@ -633,7 +651,7 @@ def _trim_and_window(counts, raw_bboxes, shape):
         levels -= 1
     pshape = padded_shape(shape, full)
     res_per_level = [tuple(int(s) >> l for s in pshape) for l in range(levels)]
-    bboxes = _tight_windows(raw_bboxes[:levels], res_per_level)
+    bboxes = _tight_windows(raw_bboxes[:levels], res_per_level, q=q)
     return levels, bboxes
 
 

@@ -105,7 +105,7 @@ def _run_subprocess_bench(scene, n, reps, extra_env, timeout_s):
         return None
 
 
-def bench_scene(metric, scene_name, n, config, reps=6):
+def bench_scene(metric, scene_name, n, config, reps=6, sub_cached=True):
     from adaptiveviscositysolver_tpu import (
         classify, export, fields, octree, restriction, scenes, stencils,
     )
@@ -248,7 +248,7 @@ def bench_scene(metric, scene_name, n, config, reps=6):
     # cold-start with a warm compilation cache: fresh interpreter, same
     # JAX_COMPILATION_CACHE_DIR (populated by this process's compiles)
     cached = None
-    if os.environ.get("AVS_BENCH_SKIP_CACHED", "") != "1":
+    if sub_cached and os.environ.get("AVS_BENCH_SKIP_CACHED", "") != "1":
         cached = _run_subprocess_bench(
             scene_name, n, reps=1, extra_env={}, timeout_s=3600,
         )
@@ -272,6 +272,7 @@ def bench_scene(metric, scene_name, n, config, reps=6):
         "octree_dofs": int(out.stats.octree_dofs),
         "regular_dofs": int(out.stats.regular_dofs),
         "octree_levels_used": levels,
+        "solve_path": out.stats.solve_path,
         "stages": {"build": round(build_ms, 2),
                    "solve": round(max(0.0, tpu_ms - build_ms), 2)},
         "compile_s": round(compile_s, 1),
@@ -303,6 +304,18 @@ def main():
         print(json.dumps(bench_scene(
             f"beam_{n_beam}_frame_solve", "beam", n_beam, config)),
             flush=True)
+
+    # scale point past the Pallas VMEM wall (VERDICT r3 #2): the fused
+    # kernels' whole-plane slabs stop fitting VMEM above ~128^3 uncropped,
+    # so apply_impl='auto' routes this solve through the whole-array XLA
+    # operator (recorded in solve_path; budget in docs/perf_notes.md).
+    # Leaner protocol than the headline (fewer reps, no cached-subprocess
+    # rerun): the point is that the size RUNS and how it scales.
+    if os.environ.get("AVS_BENCH_SKIP_BIG", "") != "1":
+        n_big = int(os.environ.get("AVS_BENCH_N_BIG", "192"))
+        print(json.dumps(bench_scene(
+            f"buckling_{n_big}_frame_solve", "buckling", n_big, config,
+            reps=3, sub_cached=False)), flush=True)
 
     n = int(os.environ.get("AVS_BENCH_N", "96"))
     rec = bench_scene(f"buckling_{n}_frame_solve", "buckling", n, config)

@@ -125,16 +125,16 @@ def test_solver_pallas_bbox_solve_matches_v1():
         probe_topology, solve_viscosity,
     )
 
-    # n=32: window quantization (solver.WINDOW_QUANTUM = 16) makes every
-    # crop window trivial on a 16^3 domain — the beam at 32^3 still yields
-    # a nontrivially cropped level so the bbox path is really exercised
-    state = scenes.beam(n=32, dtype=jnp.float32)
+    # window_quantum=2: the production 16-cell snap makes every window
+    # trivial on a domain this small — tight (quantum-2) windows keep the
+    # fixture cheap for interpret mode while really exercising the crop
+    state = scenes.beam(n=16, dtype=jnp.float32)
     cfg = SolverConfig(octree_levels=2, tolerance=1e-6, max_iterations=200,
                        apply_impl="pallas", dtype=jnp.float32)
-    lv, bboxes = probe_topology(state, cfg)
+    lv, bboxes = probe_topology(state, cfg, window_quantum=2)
     assert any(
         bb != ((0, r), (0, r), (0, r))
-        for bb, r in zip(bboxes, [32 >> l for l in range(lv)])
+        for bb, r in zip(bboxes, [16 >> l for l in range(lv)])
     ), "beam fixture should produce a nontrivial crop window"
     cfg = dataclasses.replace(cfg, octree_levels=lv)
     cfg_v1 = dataclasses.replace(cfg, apply_impl="v1-fused")
