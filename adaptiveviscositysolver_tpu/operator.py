@@ -333,6 +333,17 @@ def make_chebyshev_precond(A, invd, lam_max, degree: int,
     (/root/reference/Source/HDK_AdaptiveViscosity.cpp:611-631) in far fewer
     synchronized iterations.
     """
+    # ODD degrees only: the preconditioner polynomial p satisfies
+    # 1 - lam*p(lam) = T_k((theta-lam)/delta)/T_k(sigma), and for any
+    # eigenvalue ABOVE b the argument drops below -1 where T_k -> +inf for
+    # even k (p flips negative -> indefinite preconditioner -> CG
+    # stagnates; measured: degree 2 on the beam scene burned the full
+    # iteration budget at residual 6e-4) but -inf for odd k (p stays
+    # positive).  The power-iteration lam_max estimate is a lower bound, so
+    # eigenvalues above b are expected; odd degree makes the map robust to
+    # that, even degrees are silently promoted.
+    if degree % 2 == 0:
+        degree += 1
     lam_max = lam_max * 1.05  # safety: the power-iteration estimate is a
     # lower bound; Chebyshev diverges on eigenvalues above ``b``
     a = lam_min_ratio * lam_max

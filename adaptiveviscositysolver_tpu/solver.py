@@ -549,17 +549,19 @@ def _levels_probe(shape, levels, dx, extrapolation, fine_bandwidth):
     return counts
 
 
-WINDOW_QUANTUM = 16
+WINDOW_QUANTUM = 16  # hysteresis GROWTH step, not the snap grid: measured
+# on the beam scene, snapping the windows themselves to 16 sweeps ~1.7x
+# more canonical plane area (the beam's tight level-0 y-window is 24 rows;
+# 16-snapped it becomes 48) — a ~1.9x frame regression.  Tight windows keep
+# the apply minimal; bounding the recompile population is the job of the
+# coarse growth step + the LRU cap in make_solver.
 
 
-def _tight_windows(raw, res_per_level, margin=2, q=WINDOW_QUANTUM):
+def _tight_windows(raw, res_per_level, margin=2, q=2):
     """Per-level crop windows from the probe's occupied boxes: ``margin``
     covers neighbor kind reads around boundary DOFs, then both ends snap
-    outward to the ``q``-cell grid.  Quantization bounds the population of
-    distinct windows (crop windows are jit-specialization keys: continuous
-    integer windows would mint a new compiled program for every few cells
-    of fluid motion); origins stay even so canonical parity equals logical
-    parity."""
+    outward to the ``q``-cell grid (default 2: the minimum that keeps
+    origins even so canonical parity equals logical parity)."""
     out = []
     for bb, res in zip(raw, res_per_level):
         rows = []
@@ -590,9 +592,13 @@ def _merge_windows(cached, tight, res_per_level, q=WINDOW_QUANTUM):
         for d in range(3):
             lo, hi = cw[d]
             if tw[d][0] < lo:
-                lo = max(0, tw[d][0] - q)
+                # snap the grown bound outward TO the q-grid (not just by
+                # q): grown bounds land on shared grid positions, so a
+                # steadily moving fluid reuses them instead of minting a
+                # fresh window per violation (q even keeps lo parity)
+                lo = max(0, (tw[d][0] - q) // q * q)
             if tw[d][1] > hi:
-                hi = min(res[d], tw[d][1] + q)
+                hi = min(res[d], -(-(tw[d][1] + q) // q) * q)
             rows.append((lo, hi))
         out.append(tuple(rows))
     return tuple(out)
@@ -613,7 +619,7 @@ def effective_levels(state: FluidState, config: SolverConfig) -> int:
 
 
 def probe_topology(state: FluidState, config: SolverConfig,
-                   window_quantum: int = WINDOW_QUANTUM):
+                   window_quantum: int = 2):
     """Host-side topology probe: (effective level count, per-level static
     crop windows for the Pallas operator).
 
@@ -625,8 +631,8 @@ def probe_topology(state: FluidState, config: SolverConfig,
     e.g. the beam scene occupies ~7% of its domain).
 
     ``window_quantum`` overrides the window snap grid (must stay even for
-    canonical parity); the default bounds the recompile population, a
-    smaller value gives tighter windows for single-topology workloads."""
+    canonical parity); the default keeps windows tight — recompiles are
+    bounded by the coarse hysteresis growth + LRU cap in make_solver."""
     import numpy as np
 
     levels = capped_levels(state.liquid_sdf.shape, config.octree_levels)
@@ -640,7 +646,7 @@ def probe_topology(state: FluidState, config: SolverConfig,
                             q=window_quantum)
 
 
-def _trim_and_window(counts, raw_bboxes, shape, q=WINDOW_QUANTUM):
+def _trim_and_window(counts, raw_bboxes, shape, q=2):
     """Shared host-side probe decode: trailing empty levels dropped, then
     per-level crop windows from the occupied boxes.  Window bounds cap at
     the full-height PADDED resolutions (the coordinate system the probe ran

@@ -75,3 +75,40 @@ def test_chebyshev_precond_is_spd():
         assert abs(lhs - rhs_) <= 1e-8 * max(abs(lhs), 1.0)
         pos = float(jnp.vdot(u, precond(u)))
         assert pos > 0.0
+
+
+def test_even_degree_is_safe_under_lambda_underestimate():
+    """Even-degree Chebyshev polynomials flip sign on eigenvalues above the
+    estimated lam_max (T_k -> +inf below -1 for even k), turning the
+    preconditioner indefinite — measured as a full-budget CG stall on the
+    beam scene at degree 2.  make_chebyshev_precond promotes even degrees
+    to odd; under a deliberately underestimated lam_max the map must stay
+    positive definite and CG must still converge."""
+    a_np, b_np = _spd_system(n=200, cond=1e3, seed=3)
+    a = jnp.asarray(a_np)
+    invd = jnp.asarray(1.0 / np.diag(a_np))
+
+    def apply_a(v):
+        return a @ v
+
+    # worst case: lam_max underestimated by far more than the 5% safety pad
+    lam_true = float(np.max(np.abs(np.linalg.eigvalsh(
+        a_np / np.diag(a_np)[:, None]))))
+    precond = operator.make_chebyshev_precond(apply_a, invd,
+                                              0.7 * lam_true, 2)
+    rng = np.random.RandomState(4)
+    for _ in range(3):
+        u = jnp.asarray(rng.randn(a_np.shape[0]))
+        assert float(jnp.vdot(u, precond(u))) > 0.0
+
+    diag = {(0, 0): jnp.asarray(np.diag(a_np))}
+    rhs = {(0, 0): jnp.asarray(b_np)}
+    x0 = {(0, 0): jnp.zeros_like(rhs[(0, 0)])}
+
+    def apply_tree(tree):
+        return {(0, 0): a @ tree[(0, 0)]}
+
+    _, it, rel = operator.pcg_flat(apply_tree, rhs, x0, diag, 1e-8, 10000,
+                                   cheb_degree=2)
+    assert float(rel) <= 1e-8
+    assert int(it) < 10000

@@ -1,7 +1,8 @@
 """Recompile bounding: a slowly translating fluid must not mint programs.
 
-Crop windows are jit-specialization keys; solver._tight_windows snaps them
-to a 16-cell grid and _merge_windows grows a violated side one quantum past
+Crop windows are jit-specialization keys; they stay TIGHT (snapping them
+to a coarse grid measured ~1.9x on the beam frame — swept plane area), and
+_merge_windows grows a violated side one WINDOW_QUANTUM (16 cells) past
 the tight bound, so steady motion costs at most a couple of recompiles —
 and make_solver's LRU cap bounds the population outright.
 """
