@@ -59,7 +59,12 @@ class SolverConfig:
     # true-residual stopping rule, ~k-fold fewer synchronized CG iterations
     # at k extra matvecs each, which amortizes the per-iteration launch/dot
     # overhead that dominates small solves.  Applies to the single-device
-    # flat CG paths; ignored under iterative refinement.
+    # flat CG paths; ignored under iterative refinement.  Must be ODD when
+    # > 1: even-degree Chebyshev polynomials go indefinite on eigenvalues
+    # above the (lower-bound) power-iteration lam_max estimate — measured
+    # to stall CG — so rather than silently running degree+1 applies (and
+    # breaking the "cheb_degree + 1 operator applies per outer iteration"
+    # cost model) an even value is rejected here.
     cheb_degree: int = 1
 
     # Precision of the solve (HDK_Utilities.h:25-37): None inherits the
@@ -98,6 +103,12 @@ class SolverConfig:
             raise ValueError("num_supersamples must be >= 1")
         if self.cheb_degree < 1:
             raise ValueError("cheb_degree must be >= 1")
+        if self.cheb_degree > 1 and self.cheb_degree % 2 == 0:
+            raise ValueError(
+                "cheb_degree must be odd: even-degree Chebyshev is "
+                "indefinite on eigenvalues above the estimated lam_max "
+                f"(got {self.cheb_degree}; use {self.cheb_degree + 1})"
+            )
         allowed = {"auto", "pallas", "v1", "v1-fused"}
         if self.apply_impl not in allowed:
             raise ValueError(f"apply_impl must be one of {sorted(allowed)}")

@@ -1259,10 +1259,20 @@ def _glue_mode() -> str:
     return mode
 
 
+# Both A/B env knobs are resolved ONCE at import: they select among
+# lowerings that end up inside lru_cache'd pallas_calls and jitted CG
+# programs whose cache keys do not carry them, so a mid-process toggle
+# would silently reuse stale compiled kernels (an A/B could compare two
+# copies of the same lowering).  Import-time resolution makes the knobs
+# per-process — exactly how the profiling tools use them.
+_PIPELINED = _env_flag("AVS_PALLAS_PIPELINE")
+_GLUE = _glue_mode()
+
+
 @functools.lru_cache(maxsize=None)
 def _compiled_fused_call(level: int, levels: int, canon: Canon, dx: float,
                          enhanced: bool, interpret: bool):
-    pipelined = _env_flag("AVS_PALLAS_PIPELINE")
+    pipelined = _PIPELINED
     fk, fin, fout = _make_fused_kernel(level, levels, canon, dx, enhanced,
                                        pipelined)
     return (
@@ -1464,7 +1474,7 @@ def make_pallas_operator(
         #         for comparison)
         #   "old": logical-shape round trips (crop -> repeat chains ->
         #         embed; the round-3 shipped glue, ~0.9 ms/apply)
-        glue = _glue_mode()
+        glue = _GLUE  # per-process constant (see note at definition)
         extras: Dict[str, jnp.ndarray] = {}
         for l in range(levels):
             if l + 1 < levels:

@@ -162,6 +162,7 @@ def solve_viscosity(
     mesh_axis: str = "x",
     pallas_bboxes=None,
     probe_levels: Optional[int] = None,
+    pad_levels: Optional[int] = None,
 ) -> SolveResult:
     """One viscosity solve (the reference's per-frame solveGasSubclass).
 
@@ -208,14 +209,16 @@ def solve_viscosity(
     # legal input; the pyramid build needs divisibility by 2^(levels-1) (and
     # the sharded CG needs mesh_n | nx_l), so pad with INACTIVE cells and
     # crop the output velocity back.  The pad multiple always covers the
-    # FULL configured pyramid (not the trimmed ``levels``): the topology
-    # probe builds the untrimmed pyramid, and a trim-independent pad keeps
-    # probe window coordinates valid across every specialization.
-    pad_levels = max(levels, capped_levels(orig_res, config.octree_levels))
-    if probe_levels is not None:
-        pad_levels = max(pad_levels, capped_levels(orig_res, probe_levels))
+    # FULL configured pyramid, not just this specialization's trimmed
+    # ``levels``: make_solver passes the original configured count through
+    # ``pad_levels`` (and the async-probe mode through ``probe_levels``),
+    # so probe window coordinates stay valid across every specialization.
+    lv_pad = levels
+    for extra in (pad_levels, probe_levels):
+        if extra is not None:
+            lv_pad = max(lv_pad, capped_levels(orig_res, extra))
     mesh_n = mesh.devices.size if mesh is not None else 1
-    target = padded_shape(orig_res, pad_levels, mesh_n)
+    target = padded_shape(orig_res, lv_pad, mesh_n)
     if target != orig_res:
         state = _pad_state(state, target)
         if face_weights is not None:
@@ -581,9 +584,10 @@ def _merge_windows(cached, tight, res_per_level, q=WINDOW_QUANTUM):
     while the fluid stays inside it; on violation, extend the violated side
     one extra quantum past the tight bound (preempting further motion in
     that direction) so a moving fluid recompiles in coarse steps, not every
-    frame.  Windows never shrink within one solver closure — the cost of a
-    stale-large window is swept empty space, the cost of flapping is a
-    recompile.  All bounds live on the ``q``-cell grid."""
+    frame.  Windows only shrink through make_solver's age-out policy (see
+    ``_shrink_target``) — the cost of a stale-large window is swept empty
+    space, the cost of flapping is a recompile.  All bounds live on the
+    ``q``-cell grid."""
     if cached is None:
         return tight
     out = []
@@ -602,6 +606,37 @@ def _merge_windows(cached, tight, res_per_level, q=WINDOW_QUANTUM):
             rows.append((lo, hi))
         out.append(tuple(rows))
     return tuple(out)
+
+
+SHRINK_AFTER = 8    # consecutive oversized frames before a re-tighten
+SHRINK_RATIO = 1.5  # cached/tight swept-volume ratio that counts as oversized
+
+
+def _shrink_target(tight, res_per_level, q=WINDOW_QUANTUM):
+    """Re-tighten target: the tight window expanded one quantum per side
+    onto the shared ``q`` grid (the same positions _merge_windows grows to,
+    so a subsequently moving fluid reuses them instead of flapping)."""
+    out = []
+    for tw, res in zip(tight, res_per_level):
+        rows = []
+        for d in range(3):
+            lo = max(0, (tw[d][0] - q) // q * q)
+            hi = min(res[d], -(-(tw[d][1] + q) // q) * q)
+            rows.append((lo, hi))
+        out.append(tuple(rows))
+    return tuple(out)
+
+
+def _windows_volume(windows) -> int:
+    """Total swept cell volume of a window set (the apply cost scales with
+    the canonical boxes' volumes)."""
+    total = 0
+    for w in windows:
+        v = 1
+        for d in range(3):
+            v *= max(0, w[d][1] - w[d][0])
+        total += v
+    return total
 
 
 def effective_levels(state: FluidState, config: SolverConfig) -> int:
@@ -714,6 +749,7 @@ def make_solver(config: SolverConfig = SolverConfig(),
     max_programs = 8  # LRU cap: topology drift must not grow the program
     # population without bound (each entry pins a compiled executable)
     window_cache = {}
+    slack_age = {}
     carry = {}
 
     def _dispatch(lv, tight, state, dt):
@@ -723,14 +759,33 @@ def make_solver(config: SolverConfig = SolverConfig(),
         shape = state.liquid_sdf.shape
         pshape = padded_shape(shape, capped_levels(shape, config.octree_levels))
         res_per_level = [tuple(s >> l for s in pshape) for l in range(lv)]
-        bboxes = _merge_windows(window_cache.get(lv), tight, res_per_level)
+        cached = window_cache.get(lv)
+        bboxes = _merge_windows(cached, tight, res_per_level)
+        # window shrink age-out: a fluid that contracted (drained, merged)
+        # keeps paying its peak-occupancy sweep under pure grow-only
+        # hysteresis.  When the cached window has been >= SHRINK_RATIO x
+        # the re-tighten target's swept volume for SHRINK_AFTER consecutive
+        # frames, re-tighten — one bounded recompile buys back the sweep.
+        if cached is not None and bboxes == cached:
+            target = _shrink_target(tight, res_per_level)
+            if _windows_volume(cached) > SHRINK_RATIO * max(
+                    1, _windows_volume(target)):
+                slack_age[lv] = slack_age.get(lv, 0) + 1
+                if slack_age[lv] >= SHRINK_AFTER:
+                    bboxes = target
+                    slack_age[lv] = 0
+            else:
+                slack_age[lv] = 0
+        else:
+            slack_age[lv] = 0
         window_cache[lv] = bboxes
         key = (cfg.octree_levels, bboxes, async_probe)
         if key not in jitted:
             pl_ = config.octree_levels if async_probe else None
             jitted[key] = jax.jit(functools.partial(
                 lambda c, bb, p, s, t: solve_viscosity(
-                    s, t, c, pallas_bboxes=bb, probe_levels=p),
+                    s, t, c, pallas_bboxes=bb, probe_levels=p,
+                    pad_levels=config.octree_levels),
                 cfg, bboxes, pl_,
             ))
         jitted.move_to_end(key)

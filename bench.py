@@ -4,9 +4,22 @@ Covers BASELINE.md's two canonical workloads (the reference's
 /root/reference/Scenes/viscousBeam.hip and viscousBuckling.hip analogs):
 
 * ``beam_64_frame_solve``      — printed first (informational)
-* ``buckling_96_frame_solve``  — the headline metric, printed LAST so the
-  driver's one-JSON-line parse records it (BASELINE.md: 96^3, 4 octree
-  levels, tolerance 1e-4)
+* ``buckling_96_frame_solve``  — the headline metric (BASELINE.md: 96^3,
+  4 octree levels, tolerance 1e-4), printed LAST so the driver's
+  one-JSON-line parse records it.
+
+Budget discipline (round-4 postmortem: the bench outgrew the driver budget
+and timed out after one record, so the headline was never written):
+
+* the headline record is computed FIRST (right after the cheap beam point)
+  and printed immediately; the optional extras (on-device equality check,
+  192^3 scale point) run afterwards in SUBPROCESSES with hard timeouts and
+  the headline is re-printed with them attached.  Whatever dies mid-extras,
+  the last complete JSON line is always a headline record.
+* the full-frame CPU baselines (a fresh XLA:CPU process running the same
+  pipeline — minutes of compile each) are measured ONCE and persisted in
+  ``CPU_BASELINES.json``; the bench reads the cache and only re-measures
+  when the entry is missing (bounded) or ``AVS_BENCH_REMEASURE_CPU=1``.
 
 ``value``        — full per-frame solve (octree build + classification +
                    stencils + restriction + CG + interpolated writeback) on
@@ -18,26 +31,15 @@ Covers BASELINE.md's two canonical workloads (the reference's
                    (HDK_AdaptiveViscosity.cpp:611-631).  The real reference
                    frame also pays octree build + assembly on the CPU, so
                    this baseline understates the true speedup.
+``vs_baseline_frame`` — full-frame speedup vs the cached XLA:CPU frame
+                   (``baseline_frame_cpu_ms``; threads recorded — this
+                   1-CPU host understates the reference's multithreaded
+                   Eigen bar).
 ``stages``       — coarse decomposition (ms): ``build`` = octree build +
                    classification + stencils + restriction as its own jitted
-                   program; ``solve`` = full frame minus build (CG +
-                   writeback), clamped at zero.  The split is approximate:
-                   build is measured as a standalone jitted program, so under
-                   load jitter time can be misattributed between the stages.
-                   The reference's 13-event decomposition is in
-                   tools/profile_stages.py (HDK_AdaptiveViscosity.cpp:306-880).
-
-Baseline honesty (VERDICT r2 #4): BASELINE.md's bar is the *multithreaded*
-CPU (the reference's Eigen CG is OpenMP-parallel).  This host has
-``os.cpu_count()`` CPU(s) — reported as ``baseline_threads`` — so the CPU
-numbers below are the best this host can produce.  Two CPU figures are
-emitted: ``baseline_ms`` (scipy CG, solve stage only, the historical metric)
-and ``baseline_frame_cpu_ms`` (the FULL frame — octree build + stencils +
-CG + writeback — run on XLA:CPU in a fresh process), with
-``vs_baseline_frame`` the full-frame speedup.  ``compile_cached_s`` is the
-time-to-first-solve of a fresh process hitting the populated
-JAX_COMPILATION_CACHE_DIR.  ``octree_levels_used`` reflects the reference's
-empty-top-level trim (HDK_OctreeGrid.cpp:198-211) now applied per frame.
+                   scalar-checksum program; ``solve`` = frame minus build.
+``octree_levels_used`` reflects the reference's empty-top-level trim
+(HDK_OctreeGrid.cpp:198-211) applied per frame.
 """
 
 import json
@@ -47,8 +49,10 @@ import subprocess
 import sys
 import time
 
-_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_CACHE_DIR = os.path.join(_HERE, ".jax_cache")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
+_CPU_BASELINES = os.path.join(_HERE, "CPU_BASELINES.json")
 
 import numpy as np
 
@@ -105,7 +109,42 @@ def _run_subprocess_bench(scene, n, reps, extra_env, timeout_s):
         return None
 
 
-def bench_scene(metric, scene_name, n, config, reps=6, sub_cached=True):
+def _load_cpu_baselines():
+    try:
+        with open(_CPU_BASELINES) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _cpu_frame_baseline(scene_name, n, timeout_s):
+    """Full-frame XLA:CPU baseline, cached in CPU_BASELINES.json.
+
+    The measurement is a fresh-process compile + run of the whole pipeline
+    on the host CPU (minutes); re-measuring it every bench run is what blew
+    the round-4 budget, so it is persisted keyed by (scene, n, threads)."""
+    key = f"{scene_name}:{n}:t{os.cpu_count()}"
+    cache = _load_cpu_baselines()
+    if key in cache and os.environ.get("AVS_BENCH_REMEASURE_CPU", "") != "1":
+        return cache[key], True
+    rec = _run_subprocess_bench(
+        scene_name, n, reps=2,
+        extra_env={"JAX_PLATFORMS": "cpu"}, timeout_s=timeout_s,
+    )
+    if rec is not None:
+        rec["threads"] = os.cpu_count()
+        rec["measured"] = time.strftime("%Y-%m-%d")
+        cache[key] = rec
+        try:
+            with open(_CPU_BASELINES, "w") as f:
+                json.dump(cache, f, indent=1, sort_keys=True)
+        except OSError:
+            pass
+    return rec, False
+
+
+def bench_scene(metric, scene_name, n, config, reps=6, sub_cached=True,
+                cpu_frame=True, cpu_frame_timeout=1800):
     from adaptiveviscositysolver_tpu import (
         classify, export, fields, octree, restriction, scenes, stencils,
     )
@@ -229,28 +268,25 @@ def bench_scene(metric, scene_name, n, config, reps=6, sub_cached=True):
             cg_iters_cpu = it[0]
         baseline_ms = statistics.median(times)
     except Exception:
-        import sys, traceback
+        import traceback
 
         traceback.print_exc(file=sys.stderr)
 
     # full-frame CPU baseline: the SAME pipeline (build + stencils + CG +
     # writeback) on the host CPU via XLA:CPU — the apples-to-apples frame
     # number (the reference pays octree build + assembly on the CPU too).
-    # This host has os.cpu_count() CPUs; the reference's Eigen CG is OpenMP-
-    # threaded, so on a 1-CPU host this equals the best the host can do.
-    cpu_frame = None
-    if os.environ.get("AVS_BENCH_SKIP_CPU_FRAME", "") != "1":
-        cpu_frame = _run_subprocess_bench(
-            scene_name, n, reps=2,
-            extra_env={"JAX_PLATFORMS": "cpu"}, timeout_s=3600,
-        )
+    # Served from CPU_BASELINES.json; measured (bounded) only when missing.
+    cpu_rec, cpu_cached = (None, False)
+    if cpu_frame and os.environ.get("AVS_BENCH_SKIP_CPU_FRAME", "") != "1":
+        cpu_rec, cpu_cached = _cpu_frame_baseline(
+            scene_name, n, timeout_s=cpu_frame_timeout)
 
     # cold-start with a warm compilation cache: fresh interpreter, same
     # JAX_COMPILATION_CACHE_DIR (populated by this process's compiles)
     cached = None
     if sub_cached and os.environ.get("AVS_BENCH_SKIP_CACHED", "") != "1":
         cached = _run_subprocess_bench(
-            scene_name, n, reps=1, extra_env={}, timeout_s=3600,
+            scene_name, n, reps=1, extra_env={}, timeout_s=600,
         )
 
     return {
@@ -262,9 +298,10 @@ def bench_scene(metric, scene_name, n, config, reps=6, sub_cached=True):
                     "solve stage only",
         "baseline_ms": round(baseline_ms, 2) if baseline_ms else None,
         "baseline_threads": os.cpu_count(),
-        "baseline_frame_cpu_ms": cpu_frame["steady_ms"] if cpu_frame else None,
+        "baseline_frame_cpu_ms": cpu_rec["steady_ms"] if cpu_rec else None,
+        "baseline_frame_cpu_cached": cpu_cached,
         "vs_baseline_frame": (
-            round(cpu_frame["steady_ms"] / tpu_ms, 2) if cpu_frame else None
+            round(cpu_rec["steady_ms"] / tpu_ms, 2) if cpu_rec else None
         ),
         "cg_iterations": int(out.stats.iterations),
         "cpu_cg_iterations": cg_iters_cpu,
@@ -280,24 +317,48 @@ def bench_scene(metric, scene_name, n, config, reps=6, sub_cached=True):
     }
 
 
+def _run_bench_slice(only, timeout_s):
+    """Re-invoke this script with AVS_BENCH_ONLY=<only> under a hard
+    timeout; parse its one JSON line.  Extras (device check, scale point)
+    run this way so a hang or crash costs a bounded slice of the budget,
+    never the headline."""
+    env = dict(os.environ)
+    env["AVS_BENCH_ONLY"] = only
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception:
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        return None
+
+
 def main():
     from adaptiveviscositysolver_tpu.config import SolverConfig
 
     config = SolverConfig(octree_levels=4, tolerance=1e-4)
+    only = os.environ.get("AVS_BENCH_ONLY", "")
 
-    # on-device equality artifact (VERDICT r3 #8): fused Pallas matvec and
-    # an end-to-end solve cross-checked against the v1 operator on the live
-    # chip, recorded alongside the perf numbers
-    device_check = None
-    if os.environ.get("AVS_BENCH_SKIP_DEVCHECK", "") != "1":
-        try:
-            from tools import device_check as dc
+    if only == "devcheck":
+        # on-device equality artifact (VERDICT r3 #8): fused Pallas matvec
+        # and an end-to-end solve cross-checked against the v1 operator on
+        # the live chip
+        from tools import device_check as dc
 
-            device_check = dc.run(48)
-        except Exception:
-            import traceback
-
-            traceback.print_exc(file=sys.stderr)
+        print(json.dumps(dc.run(48)), flush=True)
+        return
+    if only == "big":
+        # scale point past the Pallas VMEM wall (VERDICT r3 #2): what runs
+        # above ~128^3 and how it scales; leaner protocol than the headline
+        n_big = int(os.environ.get("AVS_BENCH_N_BIG", "192"))
+        print(json.dumps(bench_scene(
+            f"buckling_{n_big}_frame_solve", "buckling", n_big, config,
+            reps=3, sub_cached=False, cpu_frame_timeout=3600)), flush=True)
+        return
 
     if os.environ.get("AVS_BENCH_SKIP_BEAM", "") != "1":
         n_beam = int(os.environ.get("AVS_BENCH_N_BEAM", "64"))
@@ -305,22 +366,19 @@ def main():
             f"beam_{n_beam}_frame_solve", "beam", n_beam, config)),
             flush=True)
 
-    # scale point past the Pallas VMEM wall (VERDICT r3 #2): the fused
-    # kernels' whole-plane slabs stop fitting VMEM above ~128^3 uncropped,
-    # so apply_impl='auto' routes this solve through the whole-array XLA
-    # operator (recorded in solve_path; budget in docs/perf_notes.md).
-    # Leaner protocol than the headline (fewer reps, no cached-subprocess
-    # rerun): the point is that the size RUNS and how it scales.
-    if os.environ.get("AVS_BENCH_SKIP_BIG", "") != "1":
-        n_big = int(os.environ.get("AVS_BENCH_N_BIG", "192"))
-        print(json.dumps(bench_scene(
-            f"buckling_{n_big}_frame_solve", "buckling", n_big, config,
-            reps=3, sub_cached=False)), flush=True)
-
+    # ---- headline: computed FIRST among the heavy work and printed
+    # immediately; extras attach afterwards and the record re-prints, so
+    # the LAST complete JSON line is always a headline record.
     n = int(os.environ.get("AVS_BENCH_N", "96"))
     rec = bench_scene(f"buckling_{n}_frame_solve", "buckling", n, config)
-    rec["device_check"] = device_check
     print(json.dumps(rec), flush=True)
+
+    if os.environ.get("AVS_BENCH_SKIP_DEVCHECK", "") != "1":
+        rec["device_check"] = _run_bench_slice("devcheck", timeout_s=900)
+    if os.environ.get("AVS_BENCH_SKIP_BIG", "") != "1":
+        rec["scale_point"] = _run_bench_slice("big", timeout_s=1500)
+    if "device_check" in rec or "scale_point" in rec:
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

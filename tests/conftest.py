@@ -21,6 +21,23 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache (committed): on this 1-core host a single
+# end-to-end jit compile costs 2-6 minutes and dominates every test; the
+# cache entries are deterministic for a given jaxlib + flags, so re-runs of
+# an unchanged tree (the smoke tier especially) skip the compiles entirely.
+# A code change just misses and recompiles.  Override with
+# JAX_COMPILATION_CACHE_DIR or disable with AVS_TEST_NO_CACHE=1.
+if os.environ.get("AVS_TEST_NO_CACHE", "") != "1":
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"),
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 assert jax.devices()[0].platform == "cpu", (
     "tests must run on the local CPU backend; got " + str(jax.devices()[:2])
 )

@@ -31,7 +31,7 @@ CASES = [
     # (fine res, bbox_f, bbox_c): odd extents; a cropped-window pair whose
     # coarse-window children lie inside the fine window (probe windows
     # satisfy this: a level's occupied box covers its UP descendants)
-    ((20, 12, 18), None, None),
+    pytest.param((20, 12, 18), None, None, marks=pytest.mark.smoke),
     ((24, 16, 16), ((0, 20), (0, 16), (2, 14)), ((2, 10), (0, 8), (2, 6))),
 ]
 

@@ -11,7 +11,9 @@ from tests.oracle import reference_oracle as oracle
 from tests.test_operator import build_case
 
 
-@pytest.fixture(scope="module", params=["adaptive", "adaptive_nosolid", "uniform"])
+@pytest.fixture(scope="module", params=[
+    pytest.param("adaptive", marks=pytest.mark.smoke),
+    "adaptive_nosolid", "uniform"])
 def icase(request):
     kwargs = {
         "adaptive": {},

@@ -11,6 +11,7 @@ from adaptiveviscositysolver_tpu.utils import checkpoint
 from tests.oracle import reference_oracle as oracle
 
 
+@pytest.mark.smoke
 def test_topology_maps_match_oracle():
     rng = np.random.default_rng(0)
     pts = rng.integers(2, 30, size=(50, 3))

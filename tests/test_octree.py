@@ -34,7 +34,8 @@ def sphere_mask(n, levels, center=None, radius=None, band=2.0):
     return mask
 
 
-@pytest.mark.parametrize("n,levels", [(16, 3), (32, 4), (32, 3)])
+@pytest.mark.parametrize("n,levels", [
+    pytest.param(16, 3, marks=pytest.mark.smoke), (32, 4), (32, 3)])
 def test_octree_matches_oracle(n, levels):
     mask = sphere_mask(n, levels)
     got = build(mask, levels)
@@ -43,7 +44,9 @@ def test_octree_matches_oracle(n, levels):
         np.testing.assert_array_equal(np.asarray(g), w, err_msg=f"level {level}")
 
 
-@pytest.mark.parametrize("n,levels,band", [(16, 3, 2.0), (32, 4, 2.0), (32, 4, 4.0)])
+@pytest.mark.parametrize("n,levels,band", [
+    pytest.param(16, 3, 2.0, marks=pytest.mark.smoke),
+    (32, 4, 2.0), (32, 4, 4.0)])
 def test_octree_invariants(n, levels, band):
     mask = sphere_mask(n, levels, band=band)
     labels = [np.asarray(l) for l in build(mask, levels)]

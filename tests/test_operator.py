@@ -155,7 +155,11 @@ CASES = {
 }
 
 
-@pytest.fixture(scope="module", params=list(CASES))
+@pytest.fixture(scope="module", params=[
+    # the base adaptive case is the smoke-tier representative of the
+    # operator-vs-oracle equality class (covers cross-level + solid terms)
+    pytest.param(k, marks=pytest.mark.smoke) if k == "adaptive" else k
+    for k in CASES])
 def setup(request):
     case = build_case(**CASES[request.param])
     return case, oracle_system(case), lib_operator(case)

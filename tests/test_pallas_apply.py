@@ -149,3 +149,12 @@ def test_solver_pallas_bbox_solve_matches_v1():
     for a in range(3):
         diff = float(jnp.max(jnp.abs(got.velocity[a] - want.velocity[a])))
         assert diff / scale < 5e-4, (a, diff, scale)
+
+
+@pytest.mark.smoke
+def test_pallas_apply_matches_v1_smoke():
+    """Smoke-tier representative of the pallas-vs-v1 equality class: the
+    adaptive fused kernel only (each interpret-mode kernel compile costs
+    ~2.5 min on a 1-core host, so the full kind x fused matrix stays in
+    the exhaustive tier)."""
+    test_pallas_apply_matches_v1("adaptive", True)

@@ -9,6 +9,7 @@ and dot-sync overhead on device).
 """
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -112,3 +113,14 @@ def test_even_degree_is_safe_under_lambda_underestimate():
                                    cheb_degree=2)
     assert float(rel) <= 1e-8
     assert int(it) < 10000
+
+
+def test_config_rejects_even_cheb_degree():
+    """SolverConfig refuses even degrees > 1 up front (ADVICE r4): the
+    silent odd-promotion in make_chebyshev_precond would otherwise run
+    degree+1 applies against the documented cost model."""
+    from adaptiveviscositysolver_tpu.config import SolverConfig
+
+    with pytest.raises(ValueError, match="odd"):
+        SolverConfig(cheb_degree=2)
+    SolverConfig(cheb_degree=3)  # odd is fine

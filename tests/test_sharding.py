@@ -1,6 +1,7 @@
 """Multi-chip SPMD: the full solve must compile and run on an 8-device mesh."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -15,6 +16,7 @@ from adaptiveviscositysolver_tpu.parallel.mesh import (
 from adaptiveviscositysolver_tpu.solver import solve_viscosity
 
 
+@pytest.mark.sharded
 def test_sharded_solve_matches_single_device():
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
     cfg = SolverConfig(octree_levels=2, max_iterations=50, tolerance=1e-6)
@@ -44,6 +46,7 @@ def test_sharded_solve_matches_single_device():
     assert len(shard_devices) == 8, shard_devices
 
 
+@pytest.mark.sharded
 def test_sharded_pallas_solve_matches_single_device():
     """The TPU fast path, distributed: apply_impl='pallas' on an 8-device
     mesh routes the CG through shard_map (ppermute halo exchange + psum

@@ -76,7 +76,8 @@ def test_rigid_rotation_is_exact_solution():
         )
 
 
-@pytest.mark.parametrize("kind", ["uniform", "adaptive", "solidw"])
+@pytest.mark.parametrize("kind", [
+    "uniform", pytest.param("adaptive", marks=pytest.mark.smoke), "solidw"])
 def test_solve_matches_scipy(kind):
     """Full pipeline vs scipy solve of the oracle-assembled system, through
     writeback (direct faces, solid faces, interpolated faces).  The
