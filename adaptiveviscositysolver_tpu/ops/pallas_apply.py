@@ -1291,27 +1291,48 @@ def _compiled_fused_call(level: int, levels: int, canon: Canon, dx: float,
 # cannot compile, so callers must route those solves to the whole-array
 # XLA operator (solver resolves apply_impl='auto' through fits_vmem).
 _MEASURED_VMEM_BYTES = 53 * 1024 * 1024
+# The SPLIT tau/D^T pair holds roughly half the unrolled stencil per
+# program: the tau kernel measured 21.67 MB at the same TX=4 96^3 plane
+# (docs/perf_notes.md "dual x-tiling"), D^T comparable — so levels whose
+# plane overflows the fused budget can still run Pallas through the split
+# pair (wtau pays one HBM round trip) up to ~2.4x larger planes.
+_MEASURED_SPLIT_VMEM_BYTES = 22 * 1024 * 1024
 _MEASURED_PLANE = 112 * 128
 
 
-def fused_vmem_estimate(res, bbox=None) -> int:
+def fused_vmem_estimate(res, bbox=None, split: bool = False) -> int:
     """Projected per-kernel VMEM liveness (bytes) for one level's fused
-    program, linear in the canonical y*z plane area."""
+    (or split-pair) program, linear in the canonical y*z plane area."""
     c = make_canon(res, bbox=bbox)
     plane = c.shape[1] * c.shape[2]
-    return int(_MEASURED_VMEM_BYTES * plane / _MEASURED_PLANE)
+    base = _MEASURED_SPLIT_VMEM_BYTES if split else _MEASURED_VMEM_BYTES
+    return int(base * plane / _MEASURED_PLANE)
+
+
+def level_modes(res_per_level, bboxes=None, margin: float = 0.9):
+    """Per-level Pallas lowering choice by projected VMEM liveness:
+    ``"fused"`` (one kernel, wtau never in HBM), ``"split"`` (tau + D^T
+    pair — ~2.4x smaller liveness, one wtau HBM round trip), or ``None``
+    (no Pallas program fits; the solve must fall back to the whole-array
+    operator).  ``margin`` keeps headroom against the linear model — a
+    false pass is a Mosaic compile failure, a false fail costs speed."""
+    modes = []
+    for l, res in enumerate(res_per_level):
+        bb = None if bboxes is None else bboxes[l]
+        if fused_vmem_estimate(res, bb) <= margin * VMEM_LIMIT:
+            modes.append("fused")
+        elif fused_vmem_estimate(res, bb, split=True) <= margin * VMEM_LIMIT:
+            modes.append("split")
+        else:
+            modes.append(None)
+    return modes
 
 
 def fits_vmem(res_per_level, bboxes=None, margin: float = 0.9) -> bool:
-    """Whether the fused kernels are projected to fit the VMEM cap on every
-    level (with ``margin`` headroom — the projection is a linear model, and
-    a false pass is a Mosaic compile failure while a false fail only costs
-    the Pallas speedup)."""
-    for l, res in enumerate(res_per_level):
-        bb = None if bboxes is None else bboxes[l]
-        if fused_vmem_estimate(res, bb) > margin * VMEM_LIMIT:
-            return False
-    return True
+    """Whether SOME Pallas lowering (fused or split) is projected to fit
+    the VMEM cap on every level."""
+    return all(m is not None
+               for m in level_modes(res_per_level, bboxes, margin))
 
 
 VMEM_LIMIT = 116 * 1024 * 1024  # v5e has 128 MB physical VMEM; the XLA
@@ -1436,14 +1457,26 @@ def make_pallas_operator(
     dx: float,
     enhanced: bool,
     interpret: bool = False,
-    fused: bool = True,
+    fused=True,
 ):
     """Return (apply_A, embed_tree, crop_tree) in canonical space.
 
     ``fused=True`` (default) runs ONE kernel per level (tau + D^T in a
     single pass, wtau never touches HBM); ``False`` keeps the split
-    tau/D^T kernel pair (useful for profiling comparisons)."""
+    tau/D^T kernel pair (useful for profiling comparisons, and ~2.4x
+    smaller VMEM liveness for planes past the fused wall).  A per-level
+    sequence of "fused"/"split" mixes the two — :func:`level_modes`
+    computes the VMEM-driven choice."""
     levels = len(res_per_level)
+    if isinstance(fused, bool):
+        fused_l = ["fused" if fused else "split"] * levels
+    else:
+        fused_l = list(fused)
+        if not all(m in ("fused", "split") for m in fused_l):
+            raise ValueError(
+                f"no Pallas lowering fits VMEM on some level: {fused_l}; "
+                "use apply_impl='v1-fused' (or 'auto') for this size"
+            )
     active_c = {
         (l, f): embed(active[(l, f)], canons[l], False)
         for l in range(levels)
@@ -1526,7 +1559,7 @@ def make_pallas_operator(
             # the kernel body depends on the canonical SHAPE only, not the
             # crop origin: normalize org so bbox shifts reuse compiled calls
             kcanon = dataclasses.replace(canons[l], org=(0, 0, 0))
-            if fused:
+            if fused_l[l] == "fused":
                 f_call, fin, dout = _compiled_fused_call(
                     l, levels, kcanon, dx, enhanced, interpret
                 )

@@ -314,13 +314,13 @@ def solve_viscosity(
             impl = ("pallas" if jax.default_backend() == "tpu"
                     and sdtype != jnp.float64 else "v1-fused")
             if impl == "pallas":
-                # VMEM wall: the fused kernels carry whole y/z planes per
-                # x-slab, so their liveness scales with the plane area and
-                # stops compiling past ~128^3 uncropped (the projection and
-                # its measurement basis live in ops/pallas_apply.fits_vmem;
-                # the re-layout budget is in docs/perf_notes.md).  Big
-                # grids route to the whole-array XLA operator — correct at
-                # any size — and solve_path records the fallback.
+                # VMEM wall: the Pallas kernels carry whole y/z planes per
+                # x-slab, so liveness scales with the plane area.  Per
+                # level, pallas_apply.level_modes picks the fused kernel
+                # (to ~128^3 uncropped), the split tau/D^T pair (~2.4x
+                # smaller liveness -> to ~208^3), or reports no fit — in
+                # which case the solve routes to the whole-array XLA
+                # operator (correct at any size; solve_path records it).
                 from .ops import pallas_apply as _pa
 
                 if not _pa.fits_vmem(res_per_level, pallas_bboxes):
@@ -334,13 +334,21 @@ def solve_viscosity(
             # GSPMD-partitioned, so a meshed Pallas solve must go through
             # the explicit shard_map path — or fall back to the whole-array
             # operator when the grid doesn't decompose
+            from .ops import pallas_apply as _pa
             from .parallel import shard_pallas
 
-            if (mesh.devices.size > 1
-                    and shard_pallas.shardable_levels(
-                        res_per_level, mesh.devices.size)):
+            n_mesh = mesh.devices.size
+            res_local = [(r[0] // max(1, n_mesh), r[1], r[2])
+                         for r in res_per_level]
+            if (n_mesh > 1
+                    and shard_pallas.shardable_levels(res_per_level, n_mesh)
+                    # the shard_map stage runs the FUSED kernels on local
+                    # canonical boxes; x-sharding does not shrink the y/z
+                    # plane, so the fused VMEM budget must hold locally
+                    and all(m == "fused"
+                            for m in _pa.level_modes(res_local))):
                 sharded_pallas = True
-            elif mesh.devices.size > 1:
+            elif n_mesh > 1:
                 impl = "v1-fused"
         if impl == "pallas" and sdtype == jnp.float64:
             # the Pallas kernels are float32-only: build_frame_data and
@@ -368,7 +376,8 @@ def solve_viscosity(
             apply_A = None  # the shard_map stage builds its own operator
         elif impl == "pallas":
             # fused per-level TPU kernels (interpret mode off-TPU so the
-            # same code path stays testable on CPU)
+            # same code path stays testable on CPU); levels whose plane
+            # exceeds the fused VMEM budget run the split tau/D^T pair
             from .ops import pallas_apply
 
             frame, canons = pallas_apply.build_frame_data(
@@ -379,6 +388,7 @@ def solve_viscosity(
                 frame, canons, active, res_per_level, dx,
                 config.use_enhanced_gradients,
                 interpret=jax.default_backend() != "tpu",
+                fused=pallas_apply.level_modes(res_per_level, pallas_bboxes),
             )
         else:
             apply_A, _ = operator.make_operator(

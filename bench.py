@@ -51,6 +51,10 @@ import time
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _CACHE_DIR = os.path.join(_HERE, ".jax_cache")
+# subprocess slices inherit the env var (set before THEIR interpreter
+# starts, so it lands in the config default even though the container's
+# sitecustomize imports jax first); for THIS process the env default was
+# already bound, so set the config explicitly below
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
 _CPU_BASELINES = os.path.join(_HERE, "CPU_BASELINES.json")
 
@@ -58,6 +62,16 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+# Measured (round 5, tools-level A/B with cache-hit DEBUG logs): the cache
+# WORKS — entries are written and fresh processes HIT — but on this
+# container's tunneled backend `deserialize_executable` goes through the
+# same remote service as compilation and costs just as much (toy matmul:
+# 212 s compile vs 274 s cached-hit under the same load), so
+# ``compile_cached_s`` measures remote-service latency, not cache
+# effectiveness.  It is still recorded for cross-round comparability.
 
 
 _SUB_SNIPPET = """

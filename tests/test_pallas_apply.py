@@ -158,3 +158,34 @@ def test_pallas_apply_matches_v1_smoke():
     ~2.5 min on a 1-core host, so the full kind x fused matrix stays in
     the exhaustive tier)."""
     test_pallas_apply_matches_v1("adaptive", True)
+
+
+def test_pallas_apply_mixed_modes_matches_v1():
+    """Per-level fused/split routing (the >128^3 VMEM path,
+    pallas_apply.level_modes): a mixed-mode operator must equal v1 exactly
+    like the uniform-mode ones."""
+    case = build_case()
+    blocks, mass, active, _, _, rpl = lib_operator(case)
+    blocks = _to_f32(blocks)
+    mass = _to_f32(mass)
+    apply_v1, _ = operator.make_operator(blocks, mass, active, rpl)
+    frame, canons = pallas_apply.build_frame_data(
+        case["jlabels"], case["jvk"], case["jek"], case["jck"],
+        blocks, mass, rpl,
+    )
+    modes = ["split" if l % 2 == 0 else "fused" for l in range(case["levels"])]
+    apply_pl, embed_tree, crop_tree = pallas_apply.make_pallas_operator(
+        frame, canons, active, rpl, case["dx"],
+        enhanced=True, interpret=True, fused=modes,
+    )
+    rng = np.random.default_rng(13)
+    u = {k: jnp.where(active[k],
+                      jnp.asarray(rng.normal(size=mass[k].shape), jnp.float32),
+                      0.0).astype(jnp.float32) for k in mass}
+    want = jax.jit(apply_v1)(u)
+    got = crop_tree(jax.jit(apply_pl)(embed_tree(u)))
+    for k in sorted(mass):
+        w, g = np.asarray(want[k]), np.asarray(got[k])
+        scale = max(np.abs(w).max(), 1e-30)
+        np.testing.assert_allclose(g, w, rtol=0, atol=3e-5 * scale,
+                                   err_msg=f"level/axis {k}")
