@@ -927,11 +927,16 @@ def _fused_input_names(level: int, levels: int):
     return names
 
 
-def _make_fused_kernel(level: int, levels: int, canon: Canon, dx: float,
-                       enhanced: bool, pipelined: bool = False):
-    """One kernel per level: build every weighted stress tau in-register AND
-    immediately distribute it back onto the velocity faces (tau kernel + D^T
-    kernel fused; the CG SpMV hot loop, cpp:611-643).
+def _make_fused_body(level: int, levels: int, canon: Canon, dx: float,
+                     enhanced: bool, pipelined: bool = False):
+    """The fused (tau + D^T) computation for ONE level, as a function of
+    the per-level ref lists and a LOCAL program index — shared by the
+    single-level kernel and the merged multi-level kernel (which dispatches
+    on program-id ranges).
+
+    One pass builds every weighted stress tau in-register AND immediately
+    distributes it back onto the velocity faces (tau kernel + D^T kernel
+    fused; the CG SpMV hot loop, cpp:611-643).
 
     Two wins over the split pair: the 6 per-level wtau arrays never touch
     HBM (no write + halo'd re-read), and each stress coefficient is built
@@ -948,19 +953,13 @@ def _make_fused_kernel(level: int, levels: int, canon: Canon, dx: float,
     dxw = dx * (1 << level)
     in_names = _fused_input_names(level, levels)
     out_names = _dt_output_names(level, levels)
-    NIN, NOUT = len(in_names), len(out_names)
+    NOUT = len(out_names)
     has_parent = level + 1 < levels
     has_child = level > 0
     pbase = {0: 0, 1: 0, 2: 0}
     smap = _kind_slot_map(level, levels)
 
-    def kernel(*refs):
-        ins = refs[:NIN]
-        outs = refs[NIN:NIN + NOUT]
-        scratch = refs[NIN + NOUT:NIN + NOUT + NIN]
-        sems = refs[NIN + NOUT + NIN]
-
-        i = pl.program_id(0)
+    def body(ins, outs, scratch, sems, i):
         interior = jnp.logical_and(i >= canon.PX, i < canon.PX + canon.K)
 
         # slab DMA: ``pipelined`` double-buffers the input slabs — every
@@ -1240,6 +1239,23 @@ def _make_fused_kernel(level: int, levels: int, canon: Canon, dx: float,
                     val_out = jnp.zeros((TX, CY, CZ), F32)
                 outs[j][:] = val_out
 
+    return body
+
+
+def _make_fused_kernel(level: int, levels: int, canon: Canon, dx: float,
+                       enhanced: bool, pipelined: bool = False):
+    """Single-level fused kernel: one pallas program per level (see
+    :func:`_make_fused_body` for the computation)."""
+    in_names = _fused_input_names(level, levels)
+    out_names = _dt_output_names(level, levels)
+    NIN, NOUT = len(in_names), len(out_names)
+    body = _make_fused_body(level, levels, canon, dx, enhanced, pipelined)
+
+    def kernel(*refs):
+        body(refs[:NIN], refs[NIN:NIN + NOUT],
+             refs[NIN + NOUT:NIN + NOUT + NIN],
+             refs[NIN + NOUT + NIN], pl.program_id(0))
+
     return kernel, in_names, out_names
 
 
@@ -1269,6 +1285,19 @@ _PIPELINED = _env_flag("AVS_PALLAS_PIPELINE")
 _GLUE = _glue_mode()
 
 
+def _merge_mode() -> str:
+    """Level-merge policy: "coarse" (default) | "all" | "off"."""
+    import os
+
+    mode = os.environ.get("AVS_PALLAS_MERGE", "coarse")
+    if mode not in ("coarse", "all", "off"):
+        raise ValueError(f"AVS_PALLAS_MERGE must be coarse|all|off, got {mode}")
+    return mode
+
+
+_MERGE = _merge_mode()
+
+
 @functools.lru_cache(maxsize=None)
 def _compiled_fused_call(level: int, levels: int, canon: Canon, dx: float,
                          enhanced: bool, interpret: bool):
@@ -1280,6 +1309,158 @@ def _compiled_fused_call(level: int, levels: int, canon: Canon, dx: float,
                            pipelined=pipelined),
         fin, fout,
     )
+
+
+# ---------------------------------------------------------------------------
+# merged multi-level kernel: several levels' fused bodies in ONE pallas_call
+# ---------------------------------------------------------------------------
+#
+# Measured (docs/perf_notes.md round 5): each pallas_call pays a ~0.10-0.13
+# ms floor that neither tile shape nor DMA count explains — launch/dispatch
+# cost.  The coarse levels of a 4-level apply are 3 calls paying that floor
+# on 1/8..1/512-scale data, so their bodies are dispatched on program-id
+# ranges of ONE call instead: grid = sum of per-level grids, each program
+# runs exactly one level's body (the bodies are identical to the
+# single-level kernel's — :func:`_make_fused_body`).
+#
+# Outputs use a trash-block scheme: each output grows one x-tile of scrap
+# rows at EACH end, and its index map clamps out-of-range programs to the
+# scrap blocks (pure min/max arithmetic — block 0 below the range, block
+# K+1 above), so programs of other levels never touch real rows; the caller
+# slices the scrap off.
+
+
+def _make_merged_kernel(levels_cfg, levels: int, dx: float, enhanced: bool):
+    """One kernel running each level of ``levels_cfg`` ((level, canon)
+    pairs) on its own program-id range."""
+    metas = []
+    for level, canon in levels_cfg:
+        fin = _fused_input_names(level, levels)
+        fout = _dt_output_names(level, levels)
+        body = _make_fused_body(level, levels, canon, dx, enhanced, False)
+        metas.append((level, canon, fin, fout, body))
+
+    def kernel(*refs):
+        pos = 0
+        ins_by, outs_by, scr_by = [], [], []
+        for _, _, fin, _, _ in metas:
+            ins_by.append(refs[pos:pos + len(fin)])
+            pos += len(fin)
+        for _, _, _, fout, _ in metas:
+            outs_by.append(refs[pos:pos + len(fout)])
+            pos += len(fout)
+        for _, _, fin, _, _ in metas:
+            scr_by.append(refs[pos:pos + len(fin)])
+            pos += len(fin)
+        sems_by = refs[pos:pos + len(metas)]
+
+        gi = pl.program_id(0)
+        start = 0
+        for li, (level, canon, fin, fout, body) in enumerate(metas):
+            in_range = jnp.logical_and(gi >= start, gi < start + canon.grid)
+
+            @pl.when(in_range)
+            def _(li=li, body=body, start=start):
+                body(ins_by[li], outs_by[li], scr_by[li], sems_by[li],
+                     gi - start)
+
+            start += canon.grid
+
+    return kernel, metas
+
+
+def _merged_call(kernel, metas, interpret: bool):
+    grid_total = sum(canon.grid for _, canon, _, _, _ in metas)
+    in_specs, out_specs, out_shape, scratch = [], [], [], []
+    start = 0
+    for _, canon, fin, fout, _ in metas:
+        TX = canon.TX
+        CX, CY, CZ = canon.shape
+        K = canon.grid
+        in_specs += [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * len(fin)
+
+        def imap(i, s=start, K=K):
+            # real blocks 1..K; 0 / K+1 are scrap for out-of-range programs
+            return (jnp.clip(i - s + 1, 0, K + 1), 0, 0)
+
+        out_specs += [
+            pl.BlockSpec((TX, CY, CZ), imap, memory_space=pltpu.VMEM)
+            for _ in fout
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((CX + 2 * TX, CY, CZ), F32) for _ in fout
+        ]
+        start += K
+    for _, canon, fin, _, _ in metas:
+        TX = canon.TX
+        _, CY, CZ = canon.shape
+        scratch += [pltpu.VMEM((TX + 2 * h, CY, CZ), dt) for _, dt, h in fin]
+    scratch += [pltpu.SemaphoreType.DMA((len(fin),))
+                for _, _, fin, _, _ in metas]
+    return pl.pallas_call(
+        kernel,
+        grid=(grid_total,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT,
+        ),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_merged_call(levels_cfg, levels: int, dx: float, enhanced: bool,
+                          interpret: bool):
+    kernel, metas = _make_merged_kernel(levels_cfg, levels, dx, enhanced)
+    call = _merged_call(kernel, metas, interpret)
+    return call, metas
+
+
+def _slab_bytes(level: int, levels: int, canon: Canon) -> int:
+    """Static VMEM held by one level's input slabs in a merged call."""
+    _, CY, CZ = canon.shape
+    total = 0
+    for _, dt, h in _fused_input_names(level, levels):
+        total += (canon.TX + 2 * h) * CY * CZ * jnp.dtype(dt).itemsize
+    return total
+
+
+def _merge_plan(fused_levels, canons, levels, margin: float = 0.9):
+    """Group fused-mode levels for merged calls.
+
+    ``AVS_PALLAS_MERGE`` (import-resolved, like the other A/B knobs):
+    "coarse" (default) merges levels >= 1 and keeps level 0 on its own
+    call; "all" merges every fused level; "off" keeps per-level calls.
+    A group only forms when its projected VMEM fits: the largest member's
+    fused liveness plus the other members' static slabs (the bodies are
+    program-id-exclusive, so Mosaic temporaries don't sum — input slab
+    buffers do)."""
+    if _MERGE == "off" or len(fused_levels) < 2:
+        return [[l] for l in fused_levels]
+    if _MERGE == "all":
+        cand = [list(fused_levels)]
+    else:
+        cand = ([[l] for l in fused_levels if l == 0]
+                + [[l for l in fused_levels if l > 0]])
+    groups = []
+    for g in cand:
+        if len(g) < 2:
+            groups.append(g)
+            continue
+        live = max(
+            _MEASURED_VMEM_BYTES
+            * (canons[l].shape[1] * canons[l].shape[2]) / _MEASURED_PLANE
+            for l in g
+        )
+        slabs = sum(_slab_bytes(l, levels, canons[l]) for l in g)
+        if live + slabs <= margin * VMEM_LIMIT:
+            groups.append(g)
+        else:
+            groups.extend([l] for l in g)
+    return groups
 
 
 # The fused kernel's VMEM liveness scales with the full canonical y*z
@@ -1477,6 +1658,10 @@ def make_pallas_operator(
                 f"no Pallas lowering fits VMEM on some level: {fused_l}; "
                 "use apply_impl='v1-fused' (or 'auto') for this size"
             )
+    merge_groups = _merge_plan(
+        [l for l in range(levels) if fused_l[l] == "fused"],
+        canons, levels,
+    )
     active_c = {
         (l, f): embed(active[(l, f)], canons[l], False)
         for l in range(levels)
@@ -1547,14 +1732,55 @@ def make_pallas_operator(
         outs: Dict[Tuple[int, int], jnp.ndarray] = {}
         zps: Dict[Tuple[int, int], jnp.ndarray] = {}
         zcs: Dict[Tuple[int, int], jnp.ndarray] = {}
-        for l in range(levels):
 
-            def arg_for(name):
-                if name.startswith("u") and not name.startswith("up"):
-                    return u[(l, int(name[1]))]
-                if name.startswith("up") or name.startswith("cs"):
-                    return extras[f"{name}_{l}"]
-                return frame[f"{name}_{l}"]
+        def arg_for_level(l, name):
+            if name.startswith("u") and not name.startswith("up"):
+                return u[(l, int(name[1]))]
+            if name.startswith("up") or name.startswith("cs"):
+                return extras[f"{name}_{l}"]
+            return frame[f"{name}_{l}"]
+
+        def route(l, name, r):
+            if name.startswith("out"):
+                outs[(l, int(name[3]))] = r
+            elif name.startswith("zp"):
+                zps[(l, int(name[2]))] = r
+            else:
+                zcs[(l, int(name[2]))] = r
+
+        # merged groups first: every level of a group runs inside ONE
+        # pallas_call (per-call floor paid once); singleton groups and
+        # split levels use the per-level calls below
+        merged_levels = set()
+        for group in merge_groups:
+            if len(group) < 2:
+                continue
+            merged_levels.update(group)
+            cfg = tuple(
+                (l, dataclasses.replace(canons[l], org=(0, 0, 0)))
+                for l in group
+            )
+            call, metas = _compiled_merged_call(
+                cfg, levels, dx, enhanced, interpret
+            )
+            args = []
+            for l, _, fin, _, _ in metas:
+                args += [arg_for_level(l, n) for n, _, _ in fin]
+            res = call(*args)
+            idx = 0
+            for l, kcanon, _, fout, _ in metas:
+                for name in fout:
+                    # slice the scrap x-tiles off (trash-block scheme)
+                    r = res[idx][kcanon.TX:kcanon.TX + kcanon.shape[0]]
+                    route(l, name, r)
+                    idx += 1
+
+        for l in range(levels):
+            if l in merged_levels:
+                continue
+
+            def arg_for(name, l=l):
+                return arg_for_level(l, name)
 
             # the kernel body depends on the canonical SHAPE only, not the
             # crop origin: normalize org so bbox shifts reuse compiled calls
@@ -1581,12 +1807,7 @@ def make_pallas_operator(
                         dt_args.append(frame[f"{name}_{l}"])
                 res = dt_call(*dt_args)
             for name, r in zip(dout, res):
-                if name.startswith("out"):
-                    outs[(l, int(name[3]))] = r
-                elif name.startswith("zp"):
-                    zps[(l, int(name[2]))] = r
-                else:
-                    zcs[(l, int(name[2]))] = r
+                route(l, name, r)
 
         # cross-level adjoints, masked at the add: zp/zc leave the kernels
         # unmasked and may distribute onto non-FLUID faces.  The per-level
