@@ -83,7 +83,18 @@ class Canon:
     sweep only the occupied part of the domain.  Each component is even, so
     logical parity still equals canonical parity and the parity-dependent
     stencil cases (enhanced siblings / dangling edges) are unchanged.  With
-    ``org=(0,0,0)`` and a full-extent window this is the identity layout."""
+    ``org=(0,0,0)`` and a full-extent window this is the identity layout.
+
+    ``TY`` switches the level to the y-BRICK layout (the big-plane path):
+    the kernel grid gains a second dimension of ``KY`` y-bricks, every slab
+    DMA carries a y slice ``[yb*TY, yb*TY + TY + 16)`` into a fresh VMEM
+    buffer (offset-0 layout, so the concat shifts lower exactly as in the
+    whole-plane kernels), and the y pad grows from 4 to 8 so both the slice
+    start and size stay aligned to the sublane tile (8 rows for f32, 32 for
+    int8 — hence ``TY`` must be a multiple of 32, the int8 kind grids ride
+    the same slices).  Out-of-buffer y reads see zero fill, which is exact:
+    stencil reads reach <= 4 rows past the out rows (same bound as the x
+    halo MAX_HALO), so halo-8 bricks keep every out row correct."""
 
     res: Tuple[int, int, int]   # cell resolution of the level (full grid)
     TX: int                     # x tile size (even)
@@ -91,25 +102,32 @@ class Canon:
     PX: int                     # pad tiles on EACH side of x
     shape: Tuple[int, int, int]  # canonical array shape
     org: Tuple[int, int, int] = (0, 0, 0)  # logical cell origin (all even)
+    TY: Optional[int] = None    # y brick size (multiple of 32) or None
 
     @property
     def off(self) -> Tuple[int, int, int]:
-        return (self.PX * self.TX, 4, 4)
+        return (self.PX * self.TX, 8 if self.TY else 4, 4)
 
     @property
     def grid(self) -> int:
         return self.K + 2 * self.PX
 
     @property
+    def KY(self) -> int:
+        """Number of y bricks (1 when unbricked)."""
+        return (self.shape[1] - 16) // self.TY if self.TY else 1
+
+    @property
     def cap(self) -> Tuple[int, int, int]:
         """Logical capacity of the window (rows available per axis)."""
         return (self.K * self.TX,
-                self.shape[1] - 8,
+                self.shape[1] - (16 if self.TY else 8),
                 self.shape[2] - 8)
 
 
 def make_canon(res: Sequence[int], force_tx: int | None = None,
-               bbox: Optional[Tuple[Tuple[int, int], ...]] = None) -> Canon:
+               bbox: Optional[Tuple[Tuple[int, int], ...]] = None,
+               ty: Optional[int] = None) -> Canon:
     nx, ny, nz = res
     if bbox is not None:
         # active-region crop: ((x0,x1),(y0,y1),(z0,z1)) cell ranges, each
@@ -144,10 +162,17 @@ def make_canon(res: Sequence[int], force_tx: int | None = None,
     # y/z are rounded up to the f32 tile (8, 128): the physical layout pads
     # minor dims to tiles anyway, and Mosaic only DMAs slices whose minor
     # dims match the memref — aligning the logical shape costs nothing real.
-    cy = -(-(ny + 1 + 8) // 8) * 8
+    if ty is not None:
+        if ty % 32 != 0 or ty < 32:
+            # int8 kind grids ride the same y slices; their sublane tile is
+            # 32 rows, so brick starts/sizes must be 32-aligned
+            raise ValueError(f"y brick size must be a multiple of 32, got {ty}")
+        cy = -(-(ny + 1) // ty) * ty + 16
+    else:
+        cy = -(-(ny + 1 + 8) // 8) * 8
     cz = -(-(nz + 1 + 8) // 128) * 128
     shape = ((K + 2 * PX) * TX, cy, cz)
-    return Canon(tuple(res), TX, K, PX, shape, org)
+    return Canon(tuple(res), TX, K, PX, shape, org, ty)
 
 
 def embed(arr: jnp.ndarray, canon: Canon, fill=0) -> jnp.ndarray:
@@ -668,6 +693,156 @@ def _dt_output_names(level: int, levels: int) -> List[str]:
     return names
 
 
+def _level_kernel(compute, canon: Canon, in_names, out_names):
+    """Wrap a per-slab ``compute(v, halo) -> out values`` into a kernel.
+
+    Unbricked (``canon.TY is None``): 1D x grid, BlockSpec VMEM outputs —
+    exactly the historical protocol.  Bricked: 2D (x, y-brick) grid, slab
+    DMAs carry an aligned y slice ``[yb*TY, yb*TY + TY + 16)`` into fresh
+    (offset-0) VMEM buffers, and outputs go to HBM by manual DMA — out rows
+    ``[8, 8+TY)`` of the brick plus, on the first/last brick, the zero y
+    pads (every slice start/size is a multiple of 8, the f32 sublane tile,
+    and of 32 where int8 kinds ride along, since TY % 32 == 0)."""
+    TX = canon.TX
+    CX, CY, CZ = canon.shape
+    NIN, NOUT = len(in_names), len(out_names)
+
+    if canon.TY is None:
+
+        def kernel(*refs):
+            ins = refs[:NIN]
+            outs = refs[NIN:NIN + NOUT]
+            scratch = refs[NIN + NOUT:NIN + NOUT + NIN]
+            sems = refs[NIN + NOUT + NIN]
+
+            # programs 0 and K+1 own the halo blocks: zero them so every
+            # row of the output buffers is defined
+            i = pl.program_id(0)
+            interior = jnp.logical_and(i >= canon.PX,
+                                       i < canon.PX + canon.K)
+
+            @pl.when(jnp.logical_not(interior))
+            def _():
+                for j in range(NOUT):
+                    outs[j][:] = jnp.zeros((TX, CY, CZ), F32)
+
+            @pl.when(interior)
+            def _():
+                copies = [
+                    pltpu.make_async_copy(
+                        ins[j].at[pl.ds(i * TX - h, TX + 2 * h)],
+                        scratch[j], sems.at[j]
+                    )
+                    for j, (_, _, h) in enumerate(in_names)
+                ]
+                for c in copies:
+                    c.start()
+                for c in copies:
+                    c.wait()
+                v, halo = {}, {}
+                for j, (name, _, h) in enumerate(in_names):
+                    v[name] = scratch[j][:]
+                    halo[name] = h
+                for j, val_out in enumerate(compute(v, halo)):
+                    outs[j][:] = val_out
+
+        return kernel
+
+    TY, KY = canon.TY, canon.KY
+    BY = TY + 16
+
+    def kernel(*refs):
+        ins = refs[:NIN]
+        outs = refs[NIN:NIN + NOUT]
+        scratch = refs[NIN + NOUT:NIN + NOUT + NIN]
+        oscr = refs[NIN + NOUT + NIN:NIN + NOUT + NIN + NOUT]
+        sems = refs[NIN + NOUT + NIN + NOUT]
+        osems = refs[NIN + NOUT + NIN + NOUT + 1]
+
+        i = pl.program_id(0)
+        yb = pl.program_id(1)
+        interior = jnp.logical_and(i >= canon.PX, i < canon.PX + canon.K)
+        z8 = jnp.zeros((TX, 8, CZ), F32)
+
+        @pl.when(jnp.logical_not(interior))
+        def _():
+            for j in range(NOUT):
+                oscr[j][:] = jnp.zeros((TX, BY, CZ), F32)
+
+        @pl.when(interior)
+        def _():
+            copies = [
+                pltpu.make_async_copy(
+                    ins[j].at[pl.ds(i * TX - h, TX + 2 * h),
+                              pl.ds(yb * TY, BY)],
+                    scratch[j], sems.at[j]
+                )
+                for j, (_, _, h) in enumerate(in_names)
+            ]
+            for c in copies:
+                c.start()
+            for c in copies:
+                c.wait()
+            v, halo = {}, {}
+            for j, (name, _, h) in enumerate(in_names):
+                v[name] = scratch[j][:]
+                halo[name] = h
+            for j, val_out in enumerate(compute(v, halo)):
+                # halo rows of the computed value are contaminated by the
+                # brick-edge zero fill; only rows [8, 8+TY) are emitted,
+                # and the stored halo rows become the zero y pads
+                oscr[j][:] = jnp.concatenate(
+                    [z8, val_out[:, 8:8 + TY], z8], axis=1
+                )
+
+        # out DMA (all programs: x-pad programs write the zeroed blocks)
+        main = [
+            pltpu.make_async_copy(
+                oscr[j].at[:, pl.ds(8, TY)],
+                outs[j].at[pl.ds(i * TX, TX), pl.ds(8 + yb * TY, TY)],
+                osems.at[j, 0],
+            )
+            for j in range(NOUT)
+        ]
+        for c in main:
+            c.start()
+
+        @pl.when(yb == 0)
+        def _():
+            pads = [
+                pltpu.make_async_copy(
+                    oscr[j].at[:, pl.ds(0, 8)],
+                    outs[j].at[pl.ds(i * TX, TX), pl.ds(0, 8)],
+                    osems.at[j, 1],
+                )
+                for j in range(NOUT)
+            ]
+            for c in pads:
+                c.start()
+            for c in pads:
+                c.wait()
+
+        @pl.when(yb == KY - 1)
+        def _():
+            pads = [
+                pltpu.make_async_copy(
+                    oscr[j].at[:, pl.ds(TY + 8, 8)],
+                    outs[j].at[pl.ds(i * TX, TX), pl.ds(8 + KY * TY, 8)],
+                    osems.at[j, 2],
+                )
+                for j in range(NOUT)
+            ]
+            for c in pads:
+                c.start()
+            for c in pads:
+                c.wait()
+
+        for c in main:
+            c.wait()
+
+    return kernel
+
+
 def _make_tau_kernel(level: int, levels: int, canon: Canon, dx: float,
                      enhanced: bool):
     """Kernel 1: weighted stress taus for one level.
@@ -690,79 +865,48 @@ def _make_tau_kernel(level: int, levels: int, canon: Canon, dx: float,
     pbase = {0: 0, 1: 0, 2: 0}
     smap = _kind_slot_map(level, levels)
 
-    def kernel(*refs):
-        ins = refs[:NIN]
-        outs = refs[NIN:NIN + NOUT]
-        scratch = refs[NIN + NOUT:NIN + NOUT + NIN]
-        sems = refs[NIN + NOUT + NIN]
+    def compute(v, halo):
+        """The 6 weighted-tau out blocks from loaded slab values."""
+        # packed int8 kind slabs decode lazily per read so the f32
+        # copies die immediately.  Read base: slab row h covers the
+        # first out row.
+        def kind(name, off=(0, 0, 0)):
+            g, slot = smap[name]
+            raw = _rd(v[f"kp{g}"], halo[f"kp{g}"], R, off, PACK_FILL)
+            return _decode_kind(raw.astype(F32), slot)
 
-        # programs 0 and K+1 own the halo blocks: zero them so every row of
-        # the output buffers is defined (downstream slabs read the halo)
-        i = pl.program_id(0)
-        interior = jnp.logical_and(i >= canon.PX, i < canon.PX + canon.K)
+        def val(name, off=(0, 0, 0)):
+            return _rd(v[name], halo[name], R, off, 0.0)
 
-        @pl.when(jnp.logical_not(interior))
-        def _():
-            for j in range(NOUT):
-                outs[j][:] = jnp.zeros((TX, CY, CZ), F32)
+        def valw(name, off=(0, 0, 0)):
+            # x-expanded read for the T5 blocksum: one extra row each
+            # side so odd-aligned block partners stay in-window
+            return _rd(v[name], halo[name] - 1, R + 2, off, 0.0)
 
-        @pl.when(interior)
-        def _():
-            copies = [
-                pltpu.make_async_copy(
-                    ins[j].at[pl.ds(i * TX - h, TX + 2 * h)], scratch[j],
-                    sems.at[j]
-                )
-                for j, (_, _, h) in enumerate(in_names)
-            ]
-            for c in copies:
-                c.start()
-            for c in copies:
-                c.wait()
+        values = []
+        for a in range(3):
+            tau = None
+            for c, uv, off, dest in _edge_terms(
+                a, dxw, enhanced, has_parent, kind, val, pbase, True,
+                valw=valw,
+            ):
+                contrib = c * uv
+                tau = contrib if tau is None else tau + contrib
+            values.append(val(f"we{a}") * tau)
 
-            v = {}
-            halo = {}
-            for j, (name, dt, h) in enumerate(in_names):
-                v[name] = scratch[j][:]
-                halo[name] = h
+        act_c = _eqf(kind("ck"), FLUID)
+        wcv = val("wc")
+        for axis in range(3):
+            tau = None
+            for c, uv, off, dest in _center_terms(
+                axis, dxw, has_child, kind, val, act_c, True
+            ):
+                contrib = c * uv
+                tau = contrib if tau is None else tau + contrib
+            values.append(wcv * tau)
+        return values
 
-            # packed int8 kind slabs decode lazily per read so the f32
-            # copies die immediately.  Read base: slab row h covers the
-            # first out row.
-            def kind(name, off=(0, 0, 0)):
-                g, slot = smap[name]
-                raw = _rd(v[f"kp{g}"], halo[f"kp{g}"], R, off, PACK_FILL)
-                return _decode_kind(raw.astype(F32), slot)
-
-            def val(name, off=(0, 0, 0)):
-                return _rd(v[name], halo[name], R, off, 0.0)
-
-            def valw(name, off=(0, 0, 0)):
-                # x-expanded read for the T5 blocksum: one extra row each
-                # side so odd-aligned block partners stay in-window
-                return _rd(v[name], halo[name] - 1, R + 2, off, 0.0)
-
-            for a in range(3):
-                tau = None
-                for c, uv, off, dest in _edge_terms(
-                    a, dxw, enhanced, has_parent, kind, val, pbase, True,
-                    valw=valw,
-                ):
-                    contrib = c * uv
-                    tau = contrib if tau is None else tau + contrib
-                outs[a][:] = val(f"we{a}") * tau
-
-            act_c = _eqf(kind("ck"), FLUID)
-            wcv = val("wc")
-            for axis in range(3):
-                tau = None
-                for c, uv, off, dest in _center_terms(
-                    axis, dxw, has_child, kind, val, act_c, True
-                ):
-                    contrib = c * uv
-                    tau = contrib if tau is None else tau + contrib
-                outs[3 + axis][:] = wcv * tau
-
+    kernel = _level_kernel(compute, canon, in_names, out_names)
     return kernel, in_names, out_names
 
 
@@ -788,123 +932,93 @@ def _make_dt_kernel(level: int, levels: int, canon: Canon, dx: float,
     pbase = {0: 0, 1: 0, 2: 0}
     smap = _kind_slot_map(level, levels)
 
-    def kernel(*refs):
-        ins = refs[:NIN]
-        outs = refs[NIN:NIN + NOUT]
-        scratch = refs[NIN + NOUT:NIN + NOUT + NIN]
-        sems = refs[NIN + NOUT + NIN]
+    def compute(v, halo):
+        plane = v["u0"].shape[1:]
 
-        i = pl.program_id(0)
-        interior = jnp.logical_and(i >= canon.PX, i < canon.PX + canon.K)
+        # product rows span out rows +-2: base = slab_halo - 2
+        def kind(name, off=(0, 0, 0)):
+            g, slot = smap[name]
+            raw = _rd(v[f"kp{g}"], halo[f"kp{g}"] - 2, R, off,
+                      PACK_FILL)
+            return _decode_kind(raw.astype(F32), slot)
 
-        @pl.when(jnp.logical_not(interior))
-        def _():
-            for j in range(NOUT):
-                outs[j][:] = jnp.zeros((TX, CY, CZ), F32)
+        def val(name, off=(0, 0, 0)):
+            return _rd(v[name], halo[name] - 2, R, off, 0.0)
 
-        @pl.when(interior)
-        def _():
-            copies = [
-                pltpu.make_async_copy(
-                    ins[j].at[pl.ds(i * TX - h, TX + 2 * h)], scratch[j],
-                    sems.at[j]
-                )
-                for j, (_, _, h) in enumerate(in_names)
-            ]
-            for c in copies:
-                c.start()
-            for c in copies:
-                c.wait()
+        def emit(prod, off):
+            # (TX, *plane) out-rows view of prod shifted by -off
+            xs = (BO - BT) - off[0]
+            w = prod[xs:xs + TX]
+            w = _sh_yz(w, 1, -off[1], 0.0)
+            w = _sh_yz(w, 2, -off[2], 0.0)
+            return w
 
-            v = {}
-            halo = {}
-            for j, (name, dt, h) in enumerate(in_names):
-                v[name] = scratch[j][:]
-                halo[name] = h
+        def emit_blocksum(prod, off, t_axes):
+            # out[v] += sum_{w in block(v)} prod[w - off] on out rows
+            z = _sh_yz_or_x(prod, 0, -off[0])
+            z = _sh_yz(z, 1, -off[1], 0.0)
+            z = _sh_yz(z, 2, -off[2], 0.0)
+            b = _blocksum_t(z, t_axes, pbase)
+            return b[BO - BT:BO - BT + TX]
 
-            # product rows span out rows +-2: base = slab_halo - 2
-            def kind(name, off=(0, 0, 0)):
-                g, slot = smap[name]
-                raw = _rd(v[f"kp{g}"], halo[f"kp{g}"] - 2, R, off,
-                          PACK_FILL)
-                return _decode_kind(raw.astype(F32), slot)
+        acc = {n: None for n in out_names}
 
-            def val(name, off=(0, 0, 0)):
-                return _rd(v[name], halo[name] - 2, R, off, 0.0)
+        def add(name, contrib):
+            acc[name] = (
+                contrib if acc[name] is None else acc[name] + contrib
+            )
 
-            def emit(prod, off):
-                # (TX, CY, CZ) out-rows view of prod shifted by -off
-                xs = (BO - BT) - off[0]
-                w = prod[xs:xs + TX]
-                w = _sh_yz(w, 1, -off[1], 0.0)
-                w = _sh_yz(w, 2, -off[2], 0.0)
-                return w
+        for a in range(3):
+            wtau = val(f"wte{a}")
+            for c, uv, off, dest in _edge_terms(
+                a, dxw, enhanced, has_parent, kind, val, pbase, False
+            ):
+                mode, f = dest
+                prod = c * wtau
+                if mode == "same":
+                    add(f"out{f}", emit(prod, off))
+                elif mode == "parent":
+                    add(f"zp{f}", emit(prod, off))
+                else:
+                    t_axes = [t for t in range(3) if t != f]
+                    add(f"out{f}", emit_blocksum(prod, off, t_axes))
 
-            def emit_blocksum(prod, off, t_axes):
-                # out[v] += sum_{w in block(v)} prod[w - off] on out rows
-                z = _sh_yz_or_x(prod, 0, -off[0])
-                z = _sh_yz(z, 1, -off[1], 0.0)
-                z = _sh_yz(z, 2, -off[2], 0.0)
-                b = _blocksum_t(z, t_axes, pbase)
-                return b[BO - BT:BO - BT + TX]
+        act_c = _eqf(kind("ck"), FLUID)
+        for axis in range(3):
+            wtau = val(f"wtc{axis}")
+            for c, uv, off, dest in _center_terms(
+                axis, dxw, has_child, kind, val, act_c, False
+            ):
+                prod = c * wtau
+                if dest == "same":
+                    add(f"out{axis}", emit(prod, off))
+                else:
+                    add(f"zc{axis}", emit(prod, off))
 
-            acc = {n: None for n in out_names}
+        # fold the mass term + active mask into the face outputs:
+        # out_f = [vk_f == FLUID] * (sum_s c_s wtau_s + m_f u_f).
+        # The mask is REQUIRED, not just a hygiene pass: the T5
+        # blocksum adjoint distributes onto all 4 inset children of a
+        # dangling parent face, including non-FLUID ones.  zp/zc stay
+        # unmasked — the caller masks them at the cross-level add.
+        for f in range(3):
+            g, slot = smap[f"vk{f}"]
+            raw = _rd(v[f"kp{g}"], halo[f"kp{g}"], TX, (0, 0, 0),
+                      PACK_FILL)
+            mask = _eqf(_decode_kind(raw.astype(F32), slot), FLUID)
+            mu = v[f"u{f}"][:] * v[f"m{f}"][:]
+            base = acc[f"out{f}"]
+            acc[f"out{f}"] = (
+                mask * (mu if base is None else base + mu)
+            )
 
-            def add(name, contrib):
-                acc[name] = (
-                    contrib if acc[name] is None else acc[name] + contrib
-                )
+        return [
+            acc[name] if acc[name] is not None
+            else jnp.zeros((TX,) + plane, F32)
+            for name in out_names
+        ]
 
-            for a in range(3):
-                wtau = val(f"wte{a}")
-                for c, uv, off, dest in _edge_terms(
-                    a, dxw, enhanced, has_parent, kind, val, pbase, False
-                ):
-                    mode, f = dest
-                    prod = c * wtau
-                    if mode == "same":
-                        add(f"out{f}", emit(prod, off))
-                    elif mode == "parent":
-                        add(f"zp{f}", emit(prod, off))
-                    else:
-                        t_axes = [t for t in range(3) if t != f]
-                        add(f"out{f}", emit_blocksum(prod, off, t_axes))
-
-            act_c = _eqf(kind("ck"), FLUID)
-            for axis in range(3):
-                wtau = val(f"wtc{axis}")
-                for c, uv, off, dest in _center_terms(
-                    axis, dxw, has_child, kind, val, act_c, False
-                ):
-                    prod = c * wtau
-                    if dest == "same":
-                        add(f"out{axis}", emit(prod, off))
-                    else:
-                        add(f"zc{axis}", emit(prod, off))
-
-            # fold the mass term + active mask into the face outputs:
-            # out_f = [vk_f == FLUID] * (sum_s c_s wtau_s + m_f u_f).
-            # The mask is REQUIRED, not just a hygiene pass: the T5
-            # blocksum adjoint distributes onto all 4 inset children of a
-            # dangling parent face, including non-FLUID ones.  zp/zc stay
-            # unmasked — the caller masks them at the cross-level add.
-            for f in range(3):
-                g, slot = smap[f"vk{f}"]
-                raw = _rd(v[f"kp{g}"], halo[f"kp{g}"], TX, (0, 0, 0),
-                          PACK_FILL)
-                mask = _eqf(_decode_kind(raw.astype(F32), slot), FLUID)
-                mu = v[f"u{f}"][:] * v[f"m{f}"][:]
-                base = acc[f"out{f}"]
-                acc[f"out{f}"] = (
-                    mask * (mu if base is None else base + mu)
-                )
-
-            for j, name in enumerate(out_names):
-                val_out = acc[name]
-                if val_out is None:
-                    val_out = jnp.zeros((TX, CY, CZ), F32)
-                outs[j][:] = val_out
-
+    kernel = _level_kernel(compute, canon, in_names, out_names)
     return kernel, in_names, out_names
 
 
@@ -1490,13 +1604,30 @@ def fused_vmem_estimate(res, bbox=None, split: bool = False) -> int:
     return int(base * plane / _MEASURED_PLANE)
 
 
+def brick_vmem_estimate(res, ty: int, bbox=None) -> int:
+    """Projected VMEM liveness of one y-bricked SPLIT program: the split
+    model scaled to the brick plane, plus the manual-DMA out buffers."""
+    c = make_canon(res, bbox=bbox, ty=ty)
+    brick_plane = (ty + 16) * c.shape[2]
+    est = int(_MEASURED_SPLIT_VMEM_BYTES * brick_plane / _MEASURED_PLANE)
+    est += 9 * c.TX * brick_plane * 4  # out scratch (<= 9 outputs)
+    return est
+
+
+BRICK_SIZES = (96, 64, 32)  # multiples of 32 (int8 sublane tile)
+
+
 def level_modes(res_per_level, bboxes=None, margin: float = 0.9):
     """Per-level Pallas lowering choice by projected VMEM liveness:
     ``"fused"`` (one kernel, wtau never in HBM), ``"split"`` (tau + D^T
-    pair — ~2.4x smaller liveness, one wtau HBM round trip), or ``None``
-    (no Pallas program fits; the solve must fall back to the whole-array
-    operator).  ``margin`` keeps headroom against the linear model — a
-    false pass is a Mosaic compile failure, a false fail costs speed."""
+    pair — ~2.4x smaller liveness, one wtau HBM round trip),
+    ``("brick", TY)`` (split pair on y-bricks of TY rows — liveness
+    independent of the y extent, unlocks arbitrarily large planes at a
+    1.5-2x y halo reread), or ``None`` (no Pallas program fits; the solve
+    must fall back to the whole-array operator — only reachable for
+    extreme z extents now).  ``margin`` keeps headroom against the linear
+    model — a false pass is a Mosaic compile failure, a false fail costs
+    speed."""
     modes = []
     for l, res in enumerate(res_per_level):
         bb = None if bboxes is None else bboxes[l]
@@ -1505,7 +1636,12 @@ def level_modes(res_per_level, bboxes=None, margin: float = 0.9):
         elif fused_vmem_estimate(res, bb, split=True) <= margin * VMEM_LIMIT:
             modes.append("split")
         else:
-            modes.append(None)
+            for ty in BRICK_SIZES:
+                if brick_vmem_estimate(res, ty, bb) <= margin * VMEM_LIMIT:
+                    modes.append(("brick", ty))
+                    break
+            else:
+                modes.append(None)
     return modes
 
 
@@ -1528,6 +1664,33 @@ def _pallas_level_call(kernel, in_names, out_names, canon: Canon,
     TX = canon.TX
     CX, CY, CZ = canon.shape
     NIN = len(in_names)
+    if canon.TY is not None:
+        # y-brick protocol: 2D (x, y-brick) grid, HBM outputs written by
+        # manual DMA (see _level_kernel)
+        BY = canon.TY + 16
+        scratch = [
+            pltpu.VMEM((TX + 2 * h, BY, CZ), dt) for _, dt, h in in_names
+        ] + [pltpu.VMEM((TX, BY, CZ), F32) for _ in out_names] + [
+            pltpu.SemaphoreType.DMA((NIN,)),
+            pltpu.SemaphoreType.DMA((len(out_names), 3)),
+        ]
+        return pl.pallas_call(
+            kernel,
+            grid=(canon.grid, canon.KY),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * NIN,
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+                for _ in out_names
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((CX, CY, CZ), F32) for _ in out_names
+            ],
+            scratch_shapes=scratch,
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=VMEM_LIMIT,
+            ),
+        )
     if pipelined:
         # double-buffered input slabs + per-slot DMA semaphores
         scratch = [
@@ -1582,16 +1745,24 @@ def build_frame_data(
     res_per_level,
     force_tx: int | None = None,
     bboxes=None,
+    modes=None,
 ):
     """Embed the per-frame loop-invariant arrays into canonical boxes.
 
     Kind grids go in bit-packed (3 grids per int8, 2-bit codes = -kind) —
     see :func:`_pack_groups`.  ``bboxes`` (per level, from the host-side
-    occupancy probe) crops each canonical box to the occupied region."""
+    occupancy probe) crops each canonical box to the occupied region.
+    ``modes`` (from :func:`level_modes`) switches levels routed
+    ``("brick", TY)`` to the y-brick canonical layout."""
     levels = len(res_per_level)
     canons = [
-        make_canon(res_per_level[l], force_tx,
-                   None if bboxes is None else bboxes[l])
+        make_canon(
+            res_per_level[l], force_tx,
+            None if bboxes is None else bboxes[l],
+            ty=(modes[l][1]
+                if modes is not None and isinstance(modes[l], tuple)
+                else None),
+        )
         for l in range(levels)
     ]
     data: Dict[str, jnp.ndarray] = {}
@@ -1653,11 +1824,21 @@ def make_pallas_operator(
         fused_l = ["fused" if fused else "split"] * levels
     else:
         fused_l = list(fused)
-        if not all(m in ("fused", "split") for m in fused_l):
+        if not all(
+            m in ("fused", "split") or (isinstance(m, tuple) and m[0] == "brick")
+            for m in fused_l
+        ):
             raise ValueError(
                 f"no Pallas lowering fits VMEM on some level: {fused_l}; "
                 "use apply_impl='v1-fused' (or 'auto') for this size"
             )
+        for l, m in enumerate(fused_l):
+            if isinstance(m, tuple) and canons[l].TY != m[1]:
+                raise ValueError(
+                    f"level {l} routed ('brick', {m[1]}) but its canon has "
+                    f"TY={canons[l].TY}; pass the same modes to "
+                    "build_frame_data"
+                )
     merge_groups = _merge_plan(
         [l for l in range(levels) if fused_l[l] == "fused"],
         canons, levels,

@@ -380,15 +380,16 @@ def solve_viscosity(
             # exceeds the fused VMEM budget run the split tau/D^T pair
             from .ops import pallas_apply
 
+            modes = pallas_apply.level_modes(res_per_level, pallas_bboxes)
             frame, canons = pallas_apply.build_frame_data(
                 labels, vel_kinds, edge_kinds, center_kinds, blocks, mass,
-                res_per_level, bboxes=pallas_bboxes,
+                res_per_level, bboxes=pallas_bboxes, modes=modes,
             )
             apply_A, embed_tree, crop_tree = pallas_apply.make_pallas_operator(
                 frame, canons, active, res_per_level, dx,
                 config.use_enhanced_gradients,
                 interpret=jax.default_backend() != "tpu",
-                fused=pallas_apply.level_modes(res_per_level, pallas_bboxes),
+                fused=modes,
             )
         else:
             apply_A, _ = operator.make_operator(
@@ -468,12 +469,14 @@ def solve_viscosity(
                 embed_tree(diag, fill=1.0),
                 config.tolerance, config.max_iterations,
                 cheb_degree=config.cheb_degree,
+                cancel_poll=config.cancel_poll_iters,
             )
             solution = crop_tree(sol_c)
         else:
             solution, iters, rel = operator.pcg_flat(
                 apply_A, rhs, guess, diag, config.tolerance,
                 config.max_iterations, cheb_degree=config.cheb_degree,
+                cancel_poll=config.cancel_poll_iters,
             )
 
     with jax.named_scope("interpolate_writeback"):

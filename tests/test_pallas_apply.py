@@ -189,3 +189,59 @@ def test_pallas_apply_mixed_modes_matches_v1():
         scale = max(np.abs(w).max(), 1e-30)
         np.testing.assert_allclose(g, w, rtol=0, atol=3e-5 * scale,
                                    err_msg=f"level/axis {k}")
+
+
+@pytest.mark.parametrize("n,blevels", [(16, "all"), (40, "level0")],
+                         ids=["ky1", "ky2"])
+def test_pallas_apply_brick_matches_v1(n, blevels):
+    """y-brick routing (the big-plane path past the split VMEM wall,
+    pallas_apply.level_modes -> ("brick", TY)): bricked kernels DMA
+    aligned y slices into fresh VMEM buffers and write outputs (plus the
+    zero y pads) by manual DMA — must equal v1 exactly like the
+    whole-plane lowerings.
+
+    ``ky1`` (n=16): one y brick — both edge-pad branches fire in the same
+    program.  ``ky2`` (n=40): two y bricks — interior brick boundaries
+    exercise the halo DMA and the first/last-brick pad writes separately,
+    with level 0 bricked and the coarse levels on the normal fused path
+    (the realistic mixed routing)."""
+    case = build_case(n=n)
+    blocks, mass, active, _, _, rpl = lib_operator(case)
+    blocks = _to_f32(blocks)
+    mass = _to_f32(mass)
+    apply_v1, _ = operator.make_operator(blocks, mass, active, rpl)
+    levels = case["levels"]
+    if blevels == "all":
+        modes = [("brick", 32)] * levels
+    else:
+        modes = [("brick", 32)] + ["fused"] * (levels - 1)
+    frame, canons = pallas_apply.build_frame_data(
+        case["jlabels"], case["jvk"], case["jek"], case["jck"],
+        blocks, mass, rpl, modes=modes,
+    )
+    assert canons[0].TY == 32
+    if blevels == "level0":
+        assert canons[0].KY == 2, canons[0]
+    apply_pl, embed_tree, crop_tree = pallas_apply.make_pallas_operator(
+        frame, canons, active, rpl, case["dx"],
+        enhanced=True, interpret=True, fused=modes,
+    )
+    rng = np.random.default_rng(17)
+    u = {k: jnp.where(active[k],
+                      jnp.asarray(rng.normal(size=mass[k].shape), jnp.float32),
+                      0.0).astype(jnp.float32) for k in mass}
+    want = jax.jit(apply_v1)(u)
+    got_c = jax.jit(apply_pl)(embed_tree(u))
+    # the bricked outputs' canonical pads must be EXACT zeros (the CG flat
+    # vector spans the whole canonical box, pads included)
+    for (l, f), arr in got_c.items():
+        a = np.asarray(arr)
+        c = canons[l]
+        assert (a[:, :c.off[1], :] == 0).all(), (l, f, "y lo pad")
+        assert (a[:, c.off[1] + c.cap[1]:, :] == 0).all(), (l, f, "y hi pad")
+    got = crop_tree(got_c)
+    for k in sorted(mass):
+        w, g = np.asarray(want[k]), np.asarray(got[k])
+        scale = max(np.abs(w).max(), 1e-30)
+        np.testing.assert_allclose(g, w, rtol=0, atol=3e-5 * scale,
+                                   err_msg=f"level/axis {k}")
