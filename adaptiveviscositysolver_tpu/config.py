@@ -67,6 +67,16 @@ class SolverConfig:
     # cost model) an even value is rejected here.
     cheb_degree: int = 1
 
+    # Cooperative cancellation (the reference polls boss->opInterrupt() in
+    # every loop, e.g. HDK_OctreeGrid.cpp:227-228; a jitted solve cannot be
+    # interrupted from outside, so the CG while_loop — the dominant cost —
+    # polls the process-global flag in utils/cancel.py via a host
+    # io_callback every this-many iterations and exits early when set,
+    # returning the partial iterate).  0 (default) = never poll: each poll
+    # is a host round trip, so only interactive hosts should enable it.
+    # Applies to the single-device flat-CG paths (pallas / v1 / v1-fused).
+    cancel_poll_iters: int = 0
+
     # Precision of the solve (HDK_Utilities.h:25-37): None inherits the
     # input fields' dtype (fp32 from the scene builders — the TPU-native
     # choice; fp64 in the oracle parity tests); set explicitly to force a
@@ -103,6 +113,8 @@ class SolverConfig:
             raise ValueError("num_supersamples must be >= 1")
         if self.cheb_degree < 1:
             raise ValueError("cheb_degree must be >= 1")
+        if self.cancel_poll_iters < 0:
+            raise ValueError("cancel_poll_iters must be >= 0")
         if self.cheb_degree > 1 and self.cheb_degree % 2 == 0:
             raise ValueError(
                 "cheb_degree must be odd: even-degree Chebyshev is "

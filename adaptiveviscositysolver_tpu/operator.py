@@ -248,7 +248,7 @@ def make_packer(shapes: Dict[Tuple[int, int], Tuple[int, int, int]]):
 
 
 def _flat_pcg(A, b, x0, invd, threshold, max_iterations, dot=None,
-              precond=None):
+              precond=None, cancel_poll: int = 0):
     """Flat-vector PCG core: iterate while ``||r||^2 > threshold``.
 
     z is never carried: the preconditioned residual is folded into the
@@ -258,6 +258,10 @@ def _flat_pcg(A, b, x0, invd, threshold, max_iterations, dot=None,
     passes a ``psum``-reduced vdot so every device agrees on the scalars.
     ``precond`` overrides the default Jacobi ``z = invd * r`` with any
     fixed SPD map (e.g. :func:`make_chebyshev_precond`).
+    ``cancel_poll > 0`` checks the process-global cancellation flag
+    (``utils.cancel`` — the reference's ``boss->opInterrupt()`` analog)
+    every that-many iterations through a host ``io_callback`` and exits the
+    loop early when set.
     Returns (x, iterations, ||r||^2).
     """
     if dot is None:
@@ -271,11 +275,11 @@ def _flat_pcg(A, b, x0, invd, threshold, max_iterations, dot=None,
     rz0 = dot(r0, z0)
 
     def cond(state):
-        _, _, _, _, rr, it = state
-        return (rr > threshold) & (it < max_iterations)
+        _, _, _, _, rr, it, stop = state
+        return (rr > threshold) & (it < max_iterations) & jnp.logical_not(stop)
 
     def body(state):
-        x, r, p, rz, rr, it = state
+        x, r, p, rz, rr, it, stop = state
         ap = A(p)
         alpha = rz / dot(p, ap)
         x = x + alpha * p
@@ -284,10 +288,26 @@ def _flat_pcg(A, b, x0, invd, threshold, max_iterations, dot=None,
         z = precond(r)
         rz_new = dot(r, z)
         p = z + (rz_new / rz) * p
-        return x, r, p, rz_new, rr, it + 1
+        it = it + 1
+        if cancel_poll > 0:
+            from jax.experimental import io_callback
 
-    state = (x0, r0, z0, rz0, rr0, jnp.asarray(0, jnp.int32))
-    x, _, _, _, rr, iters = jax.lax.while_loop(cond, body, state)
+            from .utils import cancel as _cancel
+
+            stop = jax.lax.cond(
+                it % cancel_poll == 0,
+                lambda: io_callback(
+                    _cancel.poll_host,
+                    jax.ShapeDtypeStruct((), jnp.bool_),
+                    ordered=False,
+                ),
+                lambda: jnp.asarray(False),
+            )
+        return x, r, p, rz_new, rr, it, stop
+
+    state = (x0, r0, z0, rz0, rr0, jnp.asarray(0, jnp.int32),
+             jnp.asarray(False))
+    x, _, _, _, rr, iters, _ = jax.lax.while_loop(cond, body, state)
     return x, iters, rr
 
 
@@ -370,7 +390,7 @@ def make_chebyshev_precond(A, invd, lam_max, degree: int,
 
 def pcg_flat(apply_A, rhs: UField, x0: UField, diag: UField,
              tolerance: float, max_iterations: int,
-             cheb_degree: int = 1):
+             cheb_degree: int = 1, cancel_poll: int = 0):
     """Same math as :func:`pcg`, with flat-vector state (single-kernel
     dots/axpys).  ``apply_A`` still maps grid pytrees to grid pytrees.
 
@@ -378,7 +398,8 @@ def pcg_flat(apply_A, rhs: UField, x0: UField, diag: UField,
     degree-``cheb_degree`` Chebyshev polynomial (see
     :func:`make_chebyshev_precond`); the reported iteration count is then
     the number of OUTER CG iterations (each costing ``cheb_degree + 1``
-    operator applies, plus a 12-apply one-time spectral-bound estimate)."""
+    operator applies, plus a 12-apply one-time spectral-bound estimate).
+    ``cancel_poll`` — see :func:`_flat_pcg`."""
     shapes = {k: tuple(v.shape) for k, v in rhs.items()}
     pack, unpack = make_packer(shapes)
 
@@ -394,7 +415,7 @@ def pcg_flat(apply_A, rhs: UField, x0: UField, diag: UField,
         lam = estimate_lambda_max(A, invd, b)
         precond = make_chebyshev_precond(A, invd, lam, cheb_degree)
     x, iters, rr = _flat_pcg(A, b, pack(x0), invd, threshold, max_iterations,
-                             precond=precond)
+                             precond=precond, cancel_poll=cancel_poll)
     rel = jnp.sqrt(rr / jnp.maximum(b_norm2, 1e-300))
     return unpack(x), iters, rel
 

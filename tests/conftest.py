@@ -21,7 +21,7 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache (committed): on this 1-core host a single
+# Persistent compilation cache (local, gitignored): on this 1-core host a single
 # end-to-end jit compile costs 2-6 minutes and dominates every test; the
 # cache entries are deterministic for a given jaxlib + flags, so re-runs of
 # an unchanged tree (the smoke tier especially) skip the compiles entirely.
