@@ -60,10 +60,13 @@ def _build_inputs(n=16, levels=2):
     active = {(l, a): vk[l][a] == classify.FLUID
               for l in range(levels) for a in range(3)}
     _, diag = operator.make_operator(blocks, mass, active, rpl)
-    rhs = operator.boundary_rhs(blocks, mass, {k: jnp.zeros_like(v) for k, v
-                                               in mass.items()}, active, rpl)
     guess = restriction.restrict_velocity_pyramid(list(state.velocity), levels)
     guess = {k: jnp.where(active[k], guess[k], 0.0) for k in mass}
+    # rhs = M u^n - D^T(W b) with u^n = the restricted guess (exactly what
+    # solver.py feeds boundary_rhs).  A zero u^n here makes rhs identically
+    # zero on a zero-solid-velocity scene, which turns the relative
+    # residual into inf/nan and runs every solve to max_iterations.
+    rhs = operator.boundary_rhs(blocks, mass, guess, active, rpl)
     f32 = jnp.float32
     we = {(b.level, b.axis): b.weight.astype(f32)
           for b in blocks if b.kind == "edge"}

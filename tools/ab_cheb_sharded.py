@@ -59,10 +59,15 @@ def main():
         # preconditioner call + 1 CG matvec; dots per outer stay 3
         # (p.ap, rr, rz) — psum count per solve is what the polynomial
         # amortizes.  12-apply spectral estimate is one-time.
+        # cheb_degree=1 IS plain Jacobi (no operator inside M^-1): 1 apply
+        # per outer + 1 init; degree k>1 pays k precond applies + 1 matvec
+        # per outer, plus the one-time 12-apply spectral estimate
+        applies = (iters * ((degree + 1) if degree > 1 else 1) + 1
+                   + (12 if degree > 1 else 0))
         print(f"cheb_degree={degree}: outer_iters={iters} rel={float(rel):.2e} "
               f"lowered_ppermute={n_ppermute} lowered_allreduce={n_allreduce} "
               f"psum_dots_per_solve={3 * iters + 3} "
-              f"applies_per_solve~={(degree + 1) * iters + (12 if degree > 1 else 0)}")
+              f"applies_per_solve~={applies}")
 
 
 if __name__ == "__main__":
