@@ -157,8 +157,12 @@ def _cpu_frame_baseline(scene_name, n, timeout_s):
     return rec, False
 
 
+class _SkipScipy(Exception):
+    pass
+
+
 def bench_scene(metric, scene_name, n, config, reps=6, sub_cached=True,
-                cpu_frame=True, cpu_frame_timeout=1800):
+                cpu_frame=True, cpu_frame_timeout=1800, scipy_baseline=True):
     from adaptiveviscositysolver_tpu import (
         classify, export, fields, octree, restriction, scenes, stencils,
     )
@@ -251,7 +255,12 @@ def bench_scene(metric, scene_name, n, config, reps=6, sub_cached=True,
 
     baseline_ms = None
     cg_iters_cpu = None
+    # scipy solve-only baseline: skipped on big grids — fetching the
+    # assembled system through the device tunnel would blow the slice
+    # budget; the cached full-frame CPU baseline remains the comparison
     try:
+        if not scipy_baseline:
+            raise _SkipScipy
         import scipy.sparse.linalg as spla
 
         blocks, mass, vk, guess, _ = jax.device_get(build_parts(state))
@@ -281,6 +290,8 @@ def bench_scene(metric, scene_name, n, config, reps=6, sub_cached=True,
             times.append((time.perf_counter() - t0) * 1e3)
             cg_iters_cpu = it[0]
         baseline_ms = statistics.median(times)
+    except _SkipScipy:
+        pass
     except Exception:
         import traceback
 
@@ -331,12 +342,13 @@ def bench_scene(metric, scene_name, n, config, reps=6, sub_cached=True,
     }
 
 
-def _run_bench_slice(only, timeout_s):
+def _run_bench_slice(only, timeout_s, extra_env=None):
     """Re-invoke this script with AVS_BENCH_ONLY=<only> under a hard
     timeout; parse its one JSON line.  Extras (device check, scale point)
     run this way so a hang or crash costs a bounded slice of the budget,
     never the headline."""
     env = dict(os.environ)
+    env.update(extra_env or {})
     env["AVS_BENCH_ONLY"] = only
     try:
         out = subprocess.run(
@@ -371,7 +383,8 @@ def main():
         n_big = int(os.environ.get("AVS_BENCH_N_BIG", "192"))
         print(json.dumps(bench_scene(
             f"buckling_{n_big}_frame_solve", "buckling", n_big, config,
-            reps=3, sub_cached=False, cpu_frame_timeout=3600)), flush=True)
+            reps=3, sub_cached=False, cpu_frame_timeout=3600,
+            scipy_baseline=n_big < 224)), flush=True)
         return
 
     if os.environ.get("AVS_BENCH_SKIP_BEAM", "") != "1":
@@ -389,9 +402,15 @@ def main():
 
     if os.environ.get("AVS_BENCH_SKIP_DEVCHECK", "") != "1":
         rec["device_check"] = _run_bench_slice("devcheck", timeout_s=900)
+        print(json.dumps(rec), flush=True)
     if os.environ.get("AVS_BENCH_SKIP_BIG", "") != "1":
         rec["scale_point"] = _run_bench_slice("big", timeout_s=1500)
-    if "device_check" in rec or "scale_point" in rec:
+        print(json.dumps(rec), flush=True)
+    if os.environ.get("AVS_BENCH_SKIP_BIG256", "") != "1":
+        # second scale point: 256^3 runs the y-brick Pallas kernels (past
+        # the split pair's VMEM wall); CPU frame served from the cache
+        rec["scale_point_256"] = _run_bench_slice(
+            "big", timeout_s=1500, extra_env={"AVS_BENCH_N_BIG": "256"})
         print(json.dumps(rec), flush=True)
 
 
